@@ -1,0 +1,154 @@
+"""ACE — Automatic Color Equalization (Rizzi et al.).
+
+Ref: src/pillowfight/ace.c pf_ace — SURVEY.md §3.1. The reference samples
+`nb_samples` random pixels per output pixel (O(W*H*S) random-access reads,
+split across pthreads — the library's only threaded kernel).
+
+TPU re-design, two estimators:
+
+* ``mode="shared"`` (default): S sample positions are drawn per page and
+  shared by every pixel. Each sample contributes one dense, fused
+  elementwise pass (distance from a broadcast point + saturated
+  difference), so the whole kernel is a single streaming sweep over the
+  page — no gathers at all. This is the Monte-Carlo "random spray"
+  estimator with a shared spray; statistically it equalizes against the
+  same global sample distribution the reference draws from.
+* ``mode="per_pixel"``: faithful per-pixel independent sampling via
+  counter-based jax.random + flat gathers, chunked over samples to bound
+  memory. Matches the reference's estimator exactly (up to RNG), at
+  gather speed.
+
+Parity: `ace_with_samples` takes explicit sample coordinates so the C++
+oracle and the TPU kernel can be fed identical samples (exact per-pixel
+comparison, no RNG mismatch).
+
+Per pixel p, channel c, values in 0..255:
+    R_c(p)  = sum_s sat(slope * (I_c(p) - I_c(s))) / d(p, s)
+    Rmax(p) = sum_s limit / d(p, s)
+    n_c(p)  = R_c(p) / Rmax(p)                      in [-1, 1]
+    out_c   = round(255 * (n_c - min_c) / (max_c - min_c))
+where min_c/max_c are the per-page per-channel extrema of n_c (the
+reference's final "rescale to [0,255]" white-point step, SURVEY.md §3.1);
+sat(x) = clamp(x, -limit, limit), d = euclidean distance (min 1).
+A degenerate channel (max == min, e.g. constant image) maps to 127.5.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.bitmap import ensure_batched, maybe_unbatch, to_uint8
+
+
+def _rescale(n: jax.Array) -> jax.Array:
+    """Per-page per-channel min-max stretch of n [B,H,W,3] to uint8 [0,255].
+
+    On a sharded batch this is a per-page reduction (no cross-page
+    collectives needed); degenerate channels map to 127.5.
+    """
+    lo = jnp.min(n, axis=(1, 2), keepdims=True)
+    hi = jnp.max(n, axis=(1, 2), keepdims=True)
+    span = hi - lo
+    stretched = jnp.where(span > 1e-9, 255.0 * (n - lo) / jnp.maximum(span, 1e-9), 127.5)
+    return to_uint8(stretched)
+
+
+def _sample_coords(key: jax.Array, b: int, s: int, h: int, w: int):
+    ky, kx = jax.random.split(key)
+    sy = jax.random.randint(ky, (b, s), 0, h, dtype=jnp.int32)
+    sx = jax.random.randint(kx, (b, s), 0, w, dtype=jnp.int32)
+    return sy, sx
+
+
+def ace_with_samples(pages: jax.Array, sy: jax.Array, sx: jax.Array,
+                     slope: float, limit: float) -> jax.Array:
+    """Shared-sample ACE. pages uint8 [B,H,W,4]; sy/sx int32 [B,S]."""
+    b, h, w, _ = pages.shape
+    s = sy.shape[1]
+    rgb = pages[..., :3].astype(jnp.float32)  # [B,H,W,3]
+
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+
+    # sample values: [B,S,3]
+    flat = rgb.reshape(b, h * w, 3)
+    sval = jnp.take_along_axis(flat, (sy * w + sx)[..., None], axis=1)
+
+    def body(carry, inputs):
+        num, den = carry
+        syk, sxk, svk = inputs  # [B], [B], [B,3]
+        d = jnp.sqrt(
+            (py[None] - syk[:, None, None].astype(jnp.float32)) ** 2
+            + (px[None] - sxk[:, None, None].astype(jnp.float32)) ** 2
+        )
+        d = jnp.maximum(d, 1.0)[..., None]  # [B,H,W,1]
+        delta = rgb - svk[:, None, None, :]
+        num = num + jnp.clip(slope * delta, -limit, limit) / d
+        den = den + limit / d
+        return (num, den), None
+
+    zeros = jnp.zeros((b, h, w, 3), jnp.float32)
+    (num, den), _ = jax.lax.scan(
+        body, (zeros, zeros),
+        (jnp.moveaxis(sy, 1, 0), jnp.moveaxis(sx, 1, 0), jnp.moveaxis(sval, 1, 0)),
+    )
+    return jnp.concatenate([_rescale(num / den), pages[..., 3:]], axis=-1)
+
+
+def _ace_per_pixel(pages: jax.Array, key: jax.Array, nb_samples: int,
+                   slope: float, limit: float, chunk: int = 8) -> jax.Array:
+    """Faithful per-pixel independent sampling (gather-based)."""
+    b, h, w, _ = pages.shape
+    rgb = pages[..., :3].astype(jnp.float32)
+    flat = rgb.reshape(b, h * w, 3)
+
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    n_chunks = -(-nb_samples // chunk)
+    keys = jax.random.split(key, n_chunks)
+
+    def body(carry, k):
+        num, den = carry
+        idx = jax.random.randint(k, (b, h, w, chunk), 0, h * w, dtype=jnp.int32)
+        svals = jax.vmap(lambda f, i: f[i])(flat, idx.reshape(b, -1))
+        svals = svals.reshape(b, h, w, chunk, 3)
+        dy = (idx // w - py[None, :, :, None]).astype(jnp.float32)
+        dx = (idx % w - px[None, :, :, None]).astype(jnp.float32)
+        d = jnp.maximum(jnp.sqrt(dy * dy + dx * dx), 1.0)[..., None]
+        delta = rgb[:, :, :, None, :] - svals
+        num = num + jnp.sum(jnp.clip(slope * delta, -limit, limit) / d, axis=3)
+        den = den + jnp.sum(limit / d, axis=3)
+        return (num, den), None
+
+    zeros = jnp.zeros((b, h, w, 3), jnp.float32)
+    (num, den), _ = jax.lax.scan(body, (zeros, zeros), keys)
+    return jnp.concatenate([_rescale(num / den), pages[..., 3:]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("nb_samples", "slope", "limit", "mode", "nb_threads"))
+def ace(
+    pages: jax.Array,
+    nb_samples: int = C.ACE_DEFAULT_NB_SAMPLES,
+    slope: float = C.ACE_DEFAULT_SLOPE,
+    limit: float = C.ACE_DEFAULT_LIMIT,
+    seed: int | jax.Array = C.ACE_DEFAULT_SEED,
+    mode: str = "shared",
+    nb_threads: int = C.ACE_DEFAULT_NB_THREADS,  # API parity; ignored on TPU
+) -> jax.Array:
+    del nb_threads
+    pages, unb = ensure_batched(pages)
+    b, h, w, _ = pages.shape
+    key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
+    if mode == "shared":
+        sy, sx = _sample_coords(key, b, nb_samples, h, w)
+        out = ace_with_samples(pages, sy, sx, slope, limit)
+    elif mode == "per_pixel":
+        out = _ace_per_pixel(pages, key, nb_samples, slope, limit)
+    else:
+        raise ValueError(f"unknown ace mode {mode!r}")
+    return maybe_unbatch(out, unb)

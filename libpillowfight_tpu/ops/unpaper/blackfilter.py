@@ -1,0 +1,38 @@
+"""unpaper blackfilter (ref: src/pillowfight/blackfilter.c — SURVEY.md §3.4).
+
+Erases solid black scan artifacts (borders, punch holes): any sliding
+scan square whose dark-pixel ratio exceeds the scan threshold seeds a
+flood fill over the connected dark region, which is wiped to white.
+
+TPU re-design: the square sweep is one strided reduce_window; the flood
+fill is morph.flood_reach's exact fixed point — seeds are the dark pixels
+inside triggered squares, the fill domain is the dark mask.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ...core import constants as C
+from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
+from ..morph import flood_reach
+from .common import block_sums, coverage_from_blocks, dark_mask, wipe_white
+
+
+def unpaper_blackfilter(
+    pages: jax.Array,
+    scan_size: int = C.BLACKFILTER_SCAN_SIZE,
+    scan_step: int = C.BLACKFILTER_SCAN_STEP,
+    scan_threshold: float = C.BLACKFILTER_SCAN_THRESHOLD,
+    black_threshold: float = C.UNPAPER_BLACK_THRESHOLD,
+) -> jax.Array:
+    pages, unb = ensure_batched(pages)
+    gray = rgba_to_gray(pages)
+    dark = dark_mask(gray, black_threshold)
+
+    counts = block_sums(dark, scan_size, scan_step)
+    triggered = counts >= (scan_threshold * scan_size * scan_size)
+    seed_area = coverage_from_blocks(triggered, dark.shape, scan_size, scan_step)
+
+    filled = flood_reach(seed_area & dark, dark, connectivity=8)
+    return maybe_unbatch(wipe_white(pages, filled), unb)

@@ -1,0 +1,35 @@
+"""unpaper grayfilter (ref: src/pillowfight/grayfilter.c — SURVEY.md §2.2).
+
+Removes gray shading / bleed-through: a scan block containing NO truly
+black pixel whose mean gray is lighter than mid-threshold is wiped to
+pure white.
+
+Spec pinned for the oracle: blocks `size` x `size` at stride `step`;
+wipe block iff (count of pixels with gray < 0.33*255) == 0 AND
+mean(gray) > 255 * (1 - threshold).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ...core import constants as C
+from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
+from .common import block_sums, coverage_from_blocks, dark_mask, wipe_white
+
+
+def unpaper_grayfilter(
+    pages: jax.Array,
+    size: int = C.GRAYFILTER_SIZE,
+    step: int = C.GRAYFILTER_STEP,
+    threshold: float = C.GRAYFILTER_THRESHOLD,
+) -> jax.Array:
+    pages, unb = ensure_batched(pages)
+    gray = rgba_to_gray(pages)
+
+    dark_counts = block_sums(dark_mask(gray), size, step)
+    mean_gray = block_sums(gray, size, step) / float(size * size)
+    wipe_blocks = (dark_counts == 0) & (mean_gray > 255.0 * (1.0 - threshold))
+
+    wipe = coverage_from_blocks(wipe_blocks, gray.shape, size, step)
+    return maybe_unbatch(wipe_white(pages, wipe), unb)

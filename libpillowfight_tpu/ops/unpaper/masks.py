@@ -1,0 +1,86 @@
+"""unpaper masks (ref: src/pillowfight/masks.c — SURVEY.md §2.2).
+
+Detects the content mask: starting from the page center, a scan strip of
+width `size` slides outward (stride `step`) in each of the four
+directions; the mask boundary is the first strip whose dark-pixel ratio
+falls below `threshold` (content has ended). Everything outside the
+detected mask rectangle is wiped to white.
+
+Spec pinned for the oracle: left/top boundary = start of the first blank
+strip (conservative, never clips content); right/bottom boundary = end of
+the first blank strip; no blank strip found -> mask extends to the page
+edge. Dark = gray < 0.33*255.
+
+TPU re-design: per-direction strip ratios come from one cumsum of dark
+row/column counts; the outward search is an argmax over a [B, K] table;
+the wipe is an iota comparison. Fully batched, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core import constants as C
+from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
+from .common import dark_mask, wipe_white
+
+
+def _mask_edge(line_counts: jax.Array, perp_extent: int, center: int, size: int,
+               step: int, threshold: float, outward_is_down: bool) -> jax.Array:
+    """First blank strip scanning outward from `center`.
+
+    line_counts f32 [B, N]. If outward_is_down, scanning toward index 0
+    (left/top): returns the blank strip's START index. Otherwise toward N
+    (right/bottom): returns the blank strip's END index. No blank strip
+    -> 0 (resp. N).
+    """
+    b, n = line_counts.shape
+    cs = jnp.concatenate(
+        [jnp.zeros((b, 1), line_counts.dtype), jnp.cumsum(line_counts, axis=1)],
+        axis=1)
+
+    if outward_is_down:
+        k_max = max((center - size) // step + 1, 1)
+        starts = center - size - jnp.arange(k_max, dtype=jnp.int32) * step  # desc
+    else:
+        k_max = max((n - center - size) // step + 1, 1)
+        starts = center + jnp.arange(k_max, dtype=jnp.int32) * step  # asc
+
+    strip = cs[:, starts + size] - cs[:, starts]  # [B, K]
+    blank = strip < (threshold * size * perp_extent)
+    any_blank = jnp.any(blank, axis=1)
+    first = jnp.argmax(blank, axis=1).astype(jnp.int32)
+    if outward_is_down:
+        edge = starts[first]
+        return jnp.where(any_blank, edge, 0)
+    edge = starts[first] + size
+    return jnp.where(any_blank, edge, n)
+
+
+def unpaper_masks(
+    pages: jax.Array,
+    scan_size: int = C.MASKS_SCAN_SIZE,
+    scan_step: int = C.MASKS_SCAN_STEP,
+    scan_threshold: float = C.MASKS_SCAN_THRESHOLD,
+) -> jax.Array:
+    pages, unb = ensure_batched(pages)
+    gray = rgba_to_gray(pages)
+    dark = dark_mask(gray)
+    b, h, w = gray.shape
+
+    row_counts = jnp.sum(dark, axis=2, dtype=jnp.float32)  # [B, H]
+    col_counts = jnp.sum(dark, axis=1, dtype=jnp.float32)  # [B, W]
+
+    left = _mask_edge(col_counts, h, w // 2, scan_size, scan_step, scan_threshold, True)
+    right = _mask_edge(col_counts, h, w // 2, scan_size, scan_step, scan_threshold, False)
+    top = _mask_edge(row_counts, w, h // 2, scan_size, scan_step, scan_threshold, True)
+    bottom = _mask_edge(row_counts, w, h // 2, scan_size, scan_step, scan_threshold, False)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    wipe = (
+        (xs < left[:, None, None]) | (xs >= right[:, None, None])
+        | (ys < top[:, None, None]) | (ys >= bottom[:, None, None])
+    )
+    return maybe_unbatch(wipe_white(pages, wipe), unb)
