@@ -130,7 +130,6 @@ def _ace_per_pixel(pages: jax.Array, key: jax.Array, nb_samples: int,
     return jnp.concatenate([_rescale(num / den), pages[..., 3:]], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("nb_samples", "slope", "limit", "mode", "nb_threads"))
 def ace(
     pages: jax.Array,
     nb_samples: int = C.ACE_DEFAULT_NB_SAMPLES,
@@ -141,9 +140,14 @@ def ace(
     nb_threads: int = C.ACE_DEFAULT_NB_THREADS,  # API parity; ignored on TPU
 ) -> jax.Array:
     del nb_threads
+    key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
+    return _ace_jit(pages, key, nb_samples, float(slope), float(limit), mode)
+
+
+@partial(jax.jit, static_argnames=("nb_samples", "slope", "limit", "mode"))
+def _ace_jit(pages, key, nb_samples, slope, limit, mode):
     pages, unb = ensure_batched(pages)
     b, h, w, _ = pages.shape
-    key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
     if mode == "shared":
         sy, sx = _sample_coords(key, b, nb_samples, h, w)
         out = ace_with_samples(pages, sy, sx, slope, limit)

@@ -54,8 +54,9 @@ def canny_edge_mask(gray: jax.Array) -> jax.Array:
     grad = sobel_on_matrix(smoothed)
     nms = _nms(grad.intensity, grad.direction)
     peak = jnp.max(nms, axis=(-2, -1), keepdims=True)
-    strong = nms >= peak * C.CANNY_HIGH_THRESHOLD_FRACTION
-    weak = nms >= peak * C.CANNY_LOW_THRESHOLD_FRACTION
+    # strict > 0 guard: a flat page (peak == 0) has no edges at all
+    strong = (nms >= peak * C.CANNY_HIGH_THRESHOLD_FRACTION) & (nms > 0.0)
+    weak = (nms >= peak * C.CANNY_LOW_THRESHOLD_FRACTION) & (nms > 0.0)
     return flood_reach(strong, weak, connectivity=8)
 
 

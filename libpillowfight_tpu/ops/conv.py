@@ -41,6 +41,15 @@ def conv2d(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return _conv(x, jnp.asarray(kernel))
 
 
+def correlate2d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Cross-correlation (no kernel flip): out[p] = sum_k x[p+k]*kernel[k].
+
+    Used by sobel so the gradient points from dark to light (standard
+    convention; for the antisymmetric Sobel taps, true convolution would
+    flip the sign)."""
+    return _conv(x, jnp.flip(jnp.asarray(kernel), (0, 1)))
+
+
 def sep_conv2d(x: jax.Array, k1d: jax.Array) -> jax.Array:
     """Separable filter: rows then columns with the same 1-D kernel."""
     k = jnp.asarray(k1d)

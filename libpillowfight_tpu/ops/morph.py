@@ -169,6 +169,86 @@ def label_components(mask: jax.Array, connectivity: int = 8,
     return labels
 
 
+def _shift2d(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
+    """out[y, x] = x_in[y+dy, x+dx], `fill` outside. x is [B,H,W]."""
+    b, h, w = x.shape
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), constant_values=fill)
+    return p[:, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+
+_OFFSETS8 = ((0, 1), (1, 0), (1, 1), (1, -1))  # unique undirected directions
+
+
+def label_components_links(valid: jax.Array, links: dict, max_iters: int = 4096
+                           ) -> jax.Array:
+    """CC labeling with *pairwise* connectivity (used by SWT's similar-
+    stroke-width components, ref: src/pillowfight/swt.c — SURVEY.md §3.3).
+
+    valid: bool [B,H,W]. links: {(dy,dx): bool [B,H,W]} for the four
+    undirected directions (0,1),(1,0),(1,1),(1,-1); links[d][b,y,x] means
+    pixel (y,x) is connected to (y+dy,x+dx). Returns int32 labels
+    (min flat index per component; background = H*W).
+    """
+    valid = valid.astype(bool)
+    b, h, w = valid.shape
+    big = h * w
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    )
+    labels0 = jnp.where(valid, idx, big)
+
+    def axis_scan(l, conn, axis):
+        """Segmented min scan along axis; conn[y,x] links (y,x)->(next along axis)."""
+        # gate INTO element i (from its predecessor) = conn at predecessor
+        gate_fwd = jnp.roll(conn, 1, axis=axis)
+        zero_first = [slice(None)] * 3
+        zero_first[axis] = slice(0, 1)
+        gate_fwd = gate_fwd.at[tuple(zero_first)].set(False)
+
+        def combine(a_, b_):
+            (ga, la), (gb, lb) = a_, b_
+            return ga & gb, jnp.where(gb, jnp.minimum(lb, la), lb)
+
+        fwd = jax.lax.associative_scan(combine, (gate_fwd, l), axis=axis)[1]
+        # reversed direction: gate into element i (from successor) = conn at i
+        rev = jax.lax.associative_scan(combine, (conn, l), axis=axis, reverse=True)[1]
+        return jnp.minimum(fwd, rev)
+
+    def neighbor_min(l):
+        out = l
+        for (dy, dx) in _OFFSETS8:
+            conn = links[(dy, dx)]
+            # pull label from (y+dy, x+dx)
+            cand = _shift2d(l, dy, dx, big)
+            out = jnp.minimum(out, jnp.where(conn, cand, big))
+            # and the mirrored direction
+            cand_m = _shift2d(l, -dy, -dx, big)
+            conn_m = _shift2d(conn, -dy, -dx, False)
+            out = jnp.minimum(out, jnp.where(conn_m, cand_m, big))
+        return out
+
+    def round_(l):
+        l = axis_scan(l, links[(0, 1)], axis=2)
+        l = axis_scan(l, links[(1, 0)], axis=1)
+        l = jnp.where(valid, neighbor_min(l), big)
+        return l
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        l, _, it = state
+        l2 = round_(l)
+        return l2, jnp.any(l2 != l), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (round_(labels0), jnp.bool_(True), 1)
+    )
+    return labels
+
+
 def component_sizes(labels: jax.Array) -> jax.Array:
     """Per-pixel size of its component. labels int32 [B,H,W] from
     label_components (background = H*W). Returns int32 [B,H,W] (0 for bg)."""

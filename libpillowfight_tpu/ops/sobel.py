@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.bitmap import ensure_batched, gray_to_rgba, maybe_unbatch, rgba_to_gray
-from .conv import SOBEL_GX, SOBEL_GY, conv2d
+from .conv import SOBEL_GX, SOBEL_GY, correlate2d
 
 
 class GradientMatrixes(NamedTuple):
@@ -24,8 +24,9 @@ class GradientMatrixes(NamedTuple):
 
 
 def sobel_on_matrix(gray: jax.Array) -> GradientMatrixes:
-    gx = conv2d(gray, SOBEL_GX)
-    gy = conv2d(gray, SOBEL_GY)
+    # correlation: gradient points from dark toward light
+    gx = correlate2d(gray, SOBEL_GX)
+    gy = correlate2d(gray, SOBEL_GY)
     return GradientMatrixes(jnp.hypot(gx, gy), jnp.arctan2(gy, gx))
 
 

@@ -1,0 +1,114 @@
+"""Large-batch driver: resumable, sharded, metered page processing.
+
+SURVEY.md §5 (checkpoint/resume, metrics, failure handling): the
+reference is a synchronous single-image library with none of this; the
+TPU framework's batch runner provides
+  * page-index manifest for resume (crash -> rerun skips finished chunks),
+  * page sharding over the device mesh (DP over the pages axis),
+  * structured throughput metrics (pages/sec, MP/s, per-chunk timings),
+  * per-chunk retry (transient failure -> bounded re-execution).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from .mesh import make_mesh, shard_pages
+from .pipeline import compile_pipeline, normalize_spec
+
+
+@dataclass
+class BatchMetrics:
+    pages: int = 0
+    megapixels: float = 0.0
+    seconds: float = 0.0
+    chunks: int = 0
+    retries: int = 0
+    chunk_seconds: list = field(default_factory=list)
+
+    @property
+    def pages_per_sec(self) -> float:
+        return self.pages / self.seconds if self.seconds else 0.0
+
+    @property
+    def mp_per_sec(self) -> float:
+        return self.megapixels / self.seconds if self.seconds else 0.0
+
+    def to_dict(self) -> dict:
+        return {
+            "pages": self.pages,
+            "megapixels": round(self.megapixels, 3),
+            "seconds": round(self.seconds, 4),
+            "pages_per_sec": round(self.pages_per_sec, 2),
+            "mp_per_sec": round(self.mp_per_sec, 2),
+            "chunks": self.chunks,
+            "retries": self.retries,
+        }
+
+
+class BatchRunner:
+    """Process a large page set through a pipeline in sharded chunks.
+
+    `source(indices) -> uint8 [n, H, W, 4]` supplies pages on demand;
+    `sink(indices, pages)` consumes results. The manifest file records
+    finished chunk start-indices, making reruns resumable.
+    """
+
+    def __init__(self, spec, chunk_size: int = 64, mesh=None,
+                 manifest_path: str | None = None, max_retries: int = 2):
+        self.spec = normalize_spec(spec)
+        self.fn = compile_pipeline(self.spec)
+        self.chunk_size = chunk_size
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.manifest_path = manifest_path
+        self.max_retries = max_retries
+        self._done: set[int] = set()
+        if manifest_path and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self._done.add(json.loads(line)["start"])
+
+    def _mark_done(self, start: int, n: int, dt: float) -> None:
+        self._done.add(start)
+        if self.manifest_path:
+            with open(self.manifest_path, "a") as f:
+                f.write(json.dumps({"start": start, "n": n, "dt": round(dt, 4)}) + "\n")
+
+    def run(self, total_pages: int, source, sink=None) -> BatchMetrics:
+        m = BatchMetrics()
+        t_all = time.perf_counter()
+        for start in range(0, total_pages, self.chunk_size):
+            n = min(self.chunk_size, total_pages - start)
+            if start in self._done:
+                continue
+            idx = np.arange(start, start + n)
+            pages = np.asarray(source(idx))
+            t0 = time.perf_counter()
+            for attempt in range(self.max_retries + 1):
+                try:
+                    sharded = shard_pages(jax.numpy.asarray(pages), self.mesh)
+                    out = self.fn(sharded)
+                    out = jax.block_until_ready(out)
+                    break
+                except Exception:
+                    if attempt == self.max_retries:
+                        raise
+                    m.retries += 1
+            dt = time.perf_counter() - t0
+            if sink is not None:
+                sink(idx, np.asarray(out))
+            self._mark_done(start, n, dt)
+            m.pages += n
+            m.megapixels += n * pages.shape[1] * pages.shape[2] / 1e6
+            m.chunks += 1
+            m.chunk_seconds.append(dt)
+        m.seconds = time.perf_counter() - t_all
+        return m

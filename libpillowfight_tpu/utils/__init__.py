@@ -1,0 +1,5 @@
+"""Utilities: oracle bindings, profiling helpers."""
+
+from . import oracle
+
+__all__ = ["oracle"]

@@ -1,0 +1,113 @@
+"""Morphology engine (flood fill / connected components) vs scipy.ndimage."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.ndimage
+
+from libpillowfight_tpu.ops import morph
+
+STRUCT8 = np.ones((3, 3), bool)
+STRUCT4 = scipy.ndimage.generate_binary_structure(2, 1)
+
+
+def _random_blobs(rng, h=48, w=64, p=0.35):
+    return rng.random((h, w)) < p
+
+
+def test_flood_reach_matches_scipy(rng):
+    mask = _random_blobs(rng)
+    seeds = np.zeros_like(mask)
+    seeds[10, 10] = seeds[30, 40] = True
+    seeds &= mask
+    for conn, struct in ((8, STRUCT8), (4, STRUCT4)):
+        got = np.asarray(
+            morph.flood_reach(jnp.asarray(seeds)[None], jnp.asarray(mask)[None],
+                              connectivity=conn)[0]
+        )
+        labels, _ = scipy.ndimage.label(mask, structure=struct)
+        seed_labels = set(labels[seeds]) - {0}
+        want = np.isin(labels, list(seed_labels)) if seed_labels else np.zeros_like(mask)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_flood_reach_spiral():
+    """A winding spiral path — worst case for round-count convergence."""
+    h = w = 33
+    mask = np.zeros((h, w), bool)
+    # build a rectangular spiral
+    y, x = 0, 0
+    mask[0, :] = True
+    mask[:, -1] = True
+    mask[-1, :] = True
+    mask[2:, 0] = True
+    mask[2, 2 : w - 2] = True
+    mask[2 : h - 2, w - 3] = True
+    mask[h - 3, 2 : w - 2] = True
+    seeds = np.zeros_like(mask)
+    seeds[0, 0] = True
+    got = np.asarray(
+        morph.flood_reach(jnp.asarray(seeds)[None], jnp.asarray(mask)[None])[0]
+    )
+    labels, _ = scipy.ndimage.label(mask, structure=STRUCT8)
+    want = labels == labels[0, 0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_label_components_matches_scipy(rng):
+    mask = _random_blobs(rng, p=0.4)
+    for conn, struct in ((8, STRUCT8), (4, STRUCT4)):
+        got = np.asarray(
+            morph.label_components(jnp.asarray(mask)[None], connectivity=conn)[0]
+        )
+        want_labels, n = scipy.ndimage.label(mask, structure=struct)
+        # same partition: for every scipy component, all our labels equal
+        assert np.all((got < mask.size) == mask)
+        for i in range(1, n + 1):
+            vals = got[want_labels == i]
+            assert len(set(vals.tolist())) == 1
+        # distinct scipy components get distinct labels
+        reps = [got[want_labels == i].flat[0] for i in range(1, n + 1)]
+        assert len(set(reps)) == n
+
+
+def test_component_sizes(rng):
+    mask = _random_blobs(rng, p=0.3)
+    labels = morph.label_components(jnp.asarray(mask)[None], connectivity=8)
+    sizes = np.asarray(morph.component_sizes(labels)[0])
+    want_labels, n = scipy.ndimage.label(mask, structure=STRUCT8)
+    for i in range(1, n + 1):
+        sel = want_labels == i
+        assert np.all(sizes[sel] == sel.sum())
+    assert np.all(sizes[~mask] == 0)
+
+
+def test_label_components_links_rows():
+    """Pairwise-connectivity CC: two horizontal runs joined by one link."""
+    valid = np.ones((1, 3, 8), bool)
+    links = {
+        (0, 1): np.zeros((1, 3, 8), bool),
+        (1, 0): np.zeros((1, 3, 8), bool),
+        (1, 1): np.zeros((1, 3, 8), bool),
+        (1, -1): np.zeros((1, 3, 8), bool),
+    }
+    links[(0, 1)][0, 0, 0:3] = True   # row0: 0-1-2-3 connected
+    links[(0, 1)][0, 2, 4:6] = True   # row2: 4-5-6 connected
+    links[(1, 0)][0, 0, 2] = False
+    got = np.asarray(
+        morph.label_components_links(
+            jnp.asarray(valid), {k: jnp.asarray(v) for k, v in links.items()}
+        )[0]
+    )
+    assert len(set(got[0, 0:4].tolist())) == 1
+    assert len(set(got[2, 4:7].tolist())) == 1
+    assert got[0, 0] != got[2, 4]
+    # now join them with a diagonal link chain via (1,0) at column 3
+    links[(1, 0)][0, 0, 3] = True
+    links[(1, 0)][0, 1, 3] = True
+    links[(0, 1)][0, 2, 3] = True
+    got = np.asarray(
+        morph.label_components_links(
+            jnp.asarray(valid), {k: jnp.asarray(v) for k, v in links.items()}
+        )[0]
+    )
+    assert got[0, 0] == got[2, 4]
