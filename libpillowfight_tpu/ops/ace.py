@@ -130,6 +130,23 @@ def _ace_per_pixel(pages: jax.Array, key: jax.Array, nb_samples: int,
     return jnp.concatenate([_rescale(num / den), pages[..., 3:]], axis=-1)
 
 
+def _ace_with_samples_pallas(pages, sy, sx, slope, limit):
+    """Shared-sample ACE via the Pallas VMEM-resident tile kernel:
+    1x HBM sweep instead of the scan path's S sweeps."""
+    from .pallas.ace_kernel import ace_spray_pallas
+
+    b, h, w, _ = pages.shape
+    rgb = pages[..., :3].astype(jnp.float32)
+    planar = jnp.moveaxis(rgb, -1, 1)  # [B,3,H,W]
+    flat = rgb.reshape(b, h * w, 3)
+    sval = jnp.take_along_axis(flat, (sy * w + sx)[..., None], axis=1)  # [B,S,3]
+    num, invd = ace_spray_pallas(
+        planar, sy, sx, jnp.moveaxis(sval, -1, 1), float(slope), float(limit)
+    )
+    n = jnp.moveaxis(num, 1, -1) / (limit * invd)[..., None]
+    return jnp.concatenate([_rescale(n), pages[..., 3:]], axis=-1)
+
+
 def ace(
     pages: jax.Array,
     nb_samples: int = C.ACE_DEFAULT_NB_SAMPLES,
@@ -141,16 +158,22 @@ def ace(
 ) -> jax.Array:
     del nb_threads
     key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
-    return _ace_jit(pages, key, nb_samples, float(slope), float(limit), mode)
+    use_pallas = mode == "shared" and jax.default_backend() not in ("cpu",)
+    return _ace_jit(pages, key, nb_samples, float(slope), float(limit), mode,
+                    use_pallas)
 
 
-@partial(jax.jit, static_argnames=("nb_samples", "slope", "limit", "mode"))
-def _ace_jit(pages, key, nb_samples, slope, limit, mode):
+@partial(jax.jit, static_argnames=("nb_samples", "slope", "limit", "mode",
+                                   "use_pallas"))
+def _ace_jit(pages, key, nb_samples, slope, limit, mode, use_pallas=False):
     pages, unb = ensure_batched(pages)
     b, h, w, _ = pages.shape
     if mode == "shared":
         sy, sx = _sample_coords(key, b, nb_samples, h, w)
-        out = ace_with_samples(pages, sy, sx, slope, limit)
+        if use_pallas:
+            out = _ace_with_samples_pallas(pages, sy, sx, slope, limit)
+        else:
+            out = ace_with_samples(pages, sy, sx, slope, limit)
     elif mode == "per_pixel":
         out = _ace_per_pixel(pages, key, nb_samples, slope, limit)
     else:

@@ -18,6 +18,20 @@ from ..core.bitmap import ensure_batched, maybe_unbatch, to_uint8
 from .conv import gaussian_kernel_1d, sep_conv2d
 
 
+def _use_pallas() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def _blur_planes(planes: jax.Array, sigma: float, nb_stddev: int) -> jax.Array:
+    """f32 [N,H,W] -> blurred f32 [N,H,W]; Pallas fused kernel on TPU
+    (one HBM sweep), XLA rank-1 convs elsewhere."""
+    if _use_pallas():
+        from .pallas.gaussian_kernel import gaussian_sep_pallas, gaussian_taps
+
+        return gaussian_sep_pallas(planes, gaussian_taps(sigma, nb_stddev))
+    return sep_conv2d(planes, jnp.asarray(gaussian_kernel_1d(sigma, nb_stddev)))
+
+
 @partial(jax.jit, static_argnames=("sigma", "nb_stddev"))
 def gaussian(
     pages: jax.Array,
@@ -26,12 +40,11 @@ def gaussian(
 ) -> jax.Array:
     """uint8 RGBA [B,H,W,4] -> blurred uint8 RGBA [B,H,W,4]."""
     pages, unb = ensure_batched(pages)
-    k = jnp.asarray(gaussian_kernel_1d(sigma, nb_stddev))
     rgb = pages[..., :3].astype(jnp.float32)
     # vectorize the separable conv over the 3 channels via one reshape:
     b, h, w, _ = rgb.shape
     planes = jnp.moveaxis(rgb, -1, 1).reshape(b * 3, h, w)
-    blurred = sep_conv2d(planes, k)
+    blurred = _blur_planes(planes, sigma, nb_stddev)
     out_rgb = to_uint8(jnp.moveaxis(blurred.reshape(b, 3, h, w), 1, -1))
     out = jnp.concatenate([out_rgb, pages[..., 3:]], axis=-1)
     return maybe_unbatch(out, unb)
@@ -44,4 +57,4 @@ def gaussian_on_matrix(
 ) -> jax.Array:
     """f32 [B,H,W] -> f32 [B,H,W]; internal helper reused by canny/swt
     (ref: gaussian.c pf_gaussian_on_matrix)."""
-    return sep_conv2d(gray, jnp.asarray(gaussian_kernel_1d(sigma, nb_stddev)))
+    return _blur_planes(gray, sigma, nb_stddev)

@@ -172,8 +172,9 @@ def label_components(mask: jax.Array, connectivity: int = 8,
 def _shift2d(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
     """out[y, x] = x_in[y+dy, x+dx], `fill` outside. x is [B,H,W]."""
     b, h, w = x.shape
-    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), constant_values=fill)
-    return p[:, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+    py, px = abs(dy), abs(dx)
+    p = jnp.pad(x, ((0, 0), (py, py), (px, px)), constant_values=fill)
+    return p[:, py + dy : py + dy + h, px + dx : px + dx + w]
 
 
 _OFFSETS8 = ((0, 1), (1, 0), (1, 1), (1, -1))  # unique undirected directions
@@ -247,6 +248,31 @@ def label_components_links(valid: jax.Array, links: dict, max_iters: int = 4096
         cond, body, (round_(labels0), jnp.bool_(True), 1)
     )
     return labels
+
+
+def small_component_mask(labels: jax.Array, mask: jax.Array,
+                         max_size: int) -> jax.Array:
+    """Pixels whose component has <= max_size members. Exact, scatter-free.
+
+    Replaces the component_sizes histogram (a scatter-add into H*W
+    buckets — pathologically slow on TPU) for threshold decisions with
+    small bounds: a component of n <= max_size pixels fits entirely
+    within Chebyshev distance max_size-1 of any member, and any
+    component with > max_size pixels has >= max_size+1 members within
+    graph distance max_size of every member (BFS layers are nonempty
+    until the component is exhausted). So counting same-label pixels in
+    a (2*max_size+1)^2 window decides the threshold exactly — pure
+    shifted compares, fully fused on the VPU.
+    """
+    labels = jnp.where(mask, labels, -1)
+    k = max_size
+    cnt = jnp.zeros(labels.shape, jnp.int32)
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            cnt = cnt + (
+                (_shift2d(labels, dy, dx, -2) == labels) & mask
+            ).astype(jnp.int32)
+    return mask & (cnt <= max_size)
 
 
 def component_sizes(labels: jax.Array) -> jax.Array:

@@ -16,7 +16,7 @@ import jax
 
 from ...core import constants as C
 from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
-from ..morph import component_sizes, label_components
+from ..morph import label_components, small_component_mask
 from .common import nonwhite_mask, wipe_white
 
 
@@ -26,6 +26,5 @@ def unpaper_noisefilter(
     pages, unb = ensure_batched(pages)
     mask = nonwhite_mask(rgba_to_gray(pages))
     labels = label_components(mask, connectivity=8)
-    sizes = component_sizes(labels)
-    wipe = mask & (sizes <= intensity)
+    wipe = small_component_mask(labels, mask, intensity)
     return maybe_unbatch(wipe_white(pages, wipe), unb)

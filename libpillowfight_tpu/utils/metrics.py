@@ -1,0 +1,103 @@
+"""Observability: timers, throughput meters, roofline accounting.
+
+SURVEY.md §5 — the reference has no tracing/metrics at all (debugging is
+PPM dumps); the north-star contract here is %-of-HBM-roofline per kernel,
+so the framework carries its own accounting:
+
+* `timed_fetch`   — honest wall timing under the axon tunnel (a scalar
+  fetch forces execution; plain block_until_ready can return early).
+* `Meter`         — pages/sec, MP/s aggregation for batch drivers.
+* `roofline`      — achieved-vs-peak bandwidth for a kernel given its
+  bytes-touched model.
+* `trace`         — context manager around jax.profiler for deep dives.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+# Per-chip peak HBM bandwidth (bytes/s). v5e ≈ 819 GB/s; override for
+# other generations via set_peak_hbm_bw.
+_PEAK_HBM_BW = 819e9
+
+
+def set_peak_hbm_bw(bw_bytes_per_s: float) -> None:
+    global _PEAK_HBM_BW
+    _PEAK_HBM_BW = float(bw_bytes_per_s)
+
+
+def timed_fetch(fn, x, iters: int = 3):
+    """Time jitted fn by chaining iterations (out feeds in) and fetching a
+    scalar once. Returns (seconds_per_iter, last_output)."""
+    out = fn(x)
+    _ = float(jnp.sum(out.reshape(-1)[:1].astype(jnp.float32)))  # warmup+sync
+    t0 = time.perf_counter()
+    out = x
+    for _ in range(iters):
+        out = fn(out)
+    _ = float(jnp.sum(out.reshape(-1)[:1].astype(jnp.float32)))
+    return (time.perf_counter() - t0) / iters, out
+
+
+@dataclass
+class RooflineReport:
+    seconds: float
+    bytes_touched: int
+    achieved_bw: float
+    peak_bw: float
+
+    @property
+    def fraction_of_roofline(self) -> float:
+        return self.achieved_bw / self.peak_bw
+
+    def __str__(self) -> str:
+        return (f"{self.achieved_bw/1e9:.1f} GB/s achieved of "
+                f"{self.peak_bw/1e9:.0f} GB/s peak "
+                f"({100*self.fraction_of_roofline:.1f}% of roofline)")
+
+
+def roofline(seconds: float, bytes_touched: int) -> RooflineReport:
+    """Achieved bandwidth vs peak for a memory-bound kernel."""
+    return RooflineReport(seconds, bytes_touched, bytes_touched / seconds,
+                          _PEAK_HBM_BW)
+
+
+@dataclass
+class Meter:
+    """Streaming throughput meter for the batch drivers."""
+    pages: int = 0
+    megapixels: float = 0.0
+    seconds: float = 0.0
+    _t0: float = field(default=0.0, repr=False)
+
+    def start(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def record(self, n_pages: int, h: int, w: int):
+        self.pages += n_pages
+        self.megapixels += n_pages * h * w / 1e6
+        self.seconds = time.perf_counter() - self._t0
+
+    @property
+    def pages_per_sec(self) -> float:
+        return self.pages / self.seconds if self.seconds else 0.0
+
+    @property
+    def mp_per_sec(self) -> float:
+        return self.megapixels / self.seconds if self.seconds else 0.0
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/pf_trace"):
+    """jax.profiler trace for TensorBoard / Perfetto inspection."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
