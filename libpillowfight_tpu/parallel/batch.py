@@ -91,6 +91,12 @@ class BatchRunner:
                 continue
             idx = np.arange(start, start + n)
             pages = np.asarray(source(idx))
+            # pad the chunk to a multiple of the pages axis (last chunk or
+            # chunk_size not divisible by the mesh) by repeating page 0
+            n_pages_axis = self.mesh.shape[self.mesh.axis_names[0]]
+            pad = -len(pages) % n_pages_axis
+            if pad:
+                pages = np.concatenate([pages, np.repeat(pages[:1], pad, 0)])
             t0 = time.perf_counter()
             for attempt in range(self.max_retries + 1):
                 try:
@@ -104,7 +110,7 @@ class BatchRunner:
                     m.retries += 1
             dt = time.perf_counter() - t0
             if sink is not None:
-                sink(idx, np.asarray(out))
+                sink(idx, np.asarray(out)[:n])
             self._mark_done(start, n, dt)
             m.pages += n
             m.megapixels += n * pages.shape[1] * pages.shape[2] / 1e6

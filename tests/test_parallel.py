@@ -1,0 +1,137 @@
+"""Distribution layer tests on the virtual 8-device CPU mesh."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libpillowfight_tpu.ops.gaussian import gaussian_on_matrix
+from libpillowfight_tpu.parallel import (
+    DOCUMENT_CLEANUP,
+    BatchRunner,
+    compile_pipeline,
+    exchange_halo_rows,
+    make_mesh,
+    normalize_spec,
+    page_sharding,
+    run_pipeline,
+    shard_pages,
+    sharded_stencil,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices")
+
+
+def _batch(rng, b=8, h=128, w=128):
+    pages = np.full((b, h, w, 4), 255, np.uint8)
+    pages[:, 40:80, 30:100, :3] = 20
+    pages[:, :, :10, :3] = 0
+    return pages
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, rows=2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("pages", "rows")
+
+
+def test_sharded_stencil_matches_unsharded(rng):
+    mesh = make_mesh(8, rows=2)
+    gray = rng.random((4, 128, 128)).astype(np.float32) * 255
+    want = np.asarray(gaussian_on_matrix(jnp.asarray(gray), 2.0, 5))
+    halo = 10
+    fn = sharded_stencil(lambda x: gaussian_on_matrix(x, 2.0, 5), mesh, halo)
+    got = np.asarray(fn(shard_pages(jnp.asarray(gray), mesh)))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_halo_exchange_zero_boundary():
+    mesh = make_mesh(8, rows=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jnp.arange(4 * 8 * 4, dtype=jnp.float32).reshape(4, 8, 4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("pages", "rows")))
+    out = jax.jit(
+        jax.shard_map(
+            lambda b: exchange_halo_rows(b, 1),
+            mesh=mesh, in_specs=P("pages", "rows"),
+            out_specs=P("pages", "rows", None),
+        )
+    )(xs)
+    # each local shard of 4 rows becomes 6 (one ghost row each side)
+    assert out.shape == (4, 12, 4)
+    o = np.asarray(out)
+    np.testing.assert_array_equal(o[0, 0], 0)          # top boundary ghost
+    np.testing.assert_array_equal(o[0, 5], np.asarray(x)[0, 4])  # from below
+
+
+def test_pipeline_sharded_matches_single(rng):
+    pages = _batch(rng)
+    mesh = make_mesh(8, rows=1)
+    spec = normalize_spec([("unpaper_blackfilter", ()), ("unpaper_border", ())])
+    want = np.asarray(run_pipeline(jnp.asarray(pages), spec))
+    sharded = shard_pages(jnp.asarray(pages), mesh)
+    got = np.asarray(jax.jit(lambda x: run_pipeline(x, spec))(sharded))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_runner_resume(tmp_path, rng):
+    pages = _batch(rng, b=12)
+    manifest = str(tmp_path / "run.manifest")
+    calls = []
+
+    def source(idx):
+        calls.append(tuple(idx))
+        return pages[idx % len(pages)]
+
+    sink_out = {}
+
+    def sink(idx, out):
+        sink_out.update({int(i): True for i in idx})
+
+    runner = BatchRunner([("unpaper_border", ())], chunk_size=4,
+                         manifest_path=manifest)
+    m = runner.run(12, source, sink)
+    assert m.pages == 12 and m.chunks == 3
+    assert len(sink_out) == 12
+    lines = [json.loads(x) for x in open(manifest)]
+    assert [x["start"] for x in lines] == [0, 4, 8]
+
+    # resume: a fresh runner skips everything already done
+    runner2 = BatchRunner([("unpaper_border", ())], chunk_size=4,
+                          manifest_path=manifest)
+    m2 = runner2.run(12, source, sink)
+    assert m2.pages == 0 and m2.chunks == 0
+
+
+def test_compile_pipeline_full_chain(rng):
+    pages = _batch(rng, b=2)
+    fn = compile_pipeline(DOCUMENT_CLEANUP)
+    out = np.asarray(fn(jnp.asarray(pages)))
+    assert out.shape == pages.shape and out.dtype == np.uint8
+    # black border removed by the chain
+    assert (out[:, :, :10, 0] == 255).mean() > 0.9
+
+
+def test_heartbeat(tmp_path):
+    from libpillowfight_tpu.parallel import Heartbeat
+
+    hb = Heartbeat(str(tmp_path), interval=0.05, timeout=0.5).start()
+    import time
+
+    time.sleep(0.3)
+    assert hb.stale_hosts() == []
+    hb.stop()
+    time.sleep(0.7)
+    assert hb.stale_hosts() == [0]
+
+
+def test_make_host_mesh():
+    from libpillowfight_tpu.parallel import make_host_mesh
+
+    mesh = make_host_mesh()
+    assert mesh.axis_names == ("host", "chip")
+    assert mesh.devices.size == 8
