@@ -22,8 +22,18 @@ All functions are batched over pages ([B, H, W]) and jit-safe.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas_flood() -> bool:
+    """Pallas flood/label band kernels on accelerators; XLA scan fallback
+    with PF_NO_PALLAS_FLOOD=1 (escape hatch while the TPU path hardens)."""
+    if os.environ.get("PF_NO_PALLAS_FLOOD"):
+        return False
+    return jax.default_backend() not in ("cpu",)
 
 
 # --------------------------------------------------------------------------
@@ -107,7 +117,14 @@ def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 8,
     """All mask pixels connected (4/8-conn) to a seed. bool [B,H,W] each.
 
     Exact fixed point: while_loop until the reached set stops growing.
+    On TPU the 8-connectivity case runs the Pallas band kernel (one HBM
+    sweep per round, doubling scans in VMEM) instead of the XLA
+    associative-scan round (~44 materialized sweeps).
     """
+    if connectivity == 8 and _use_pallas_flood():
+        from .pallas.flood_kernel import flood_reach_pallas
+
+        return flood_reach_pallas(seeds, mask, max_iters=min(max_iters, 512))
     mask = mask.astype(bool)
     seeds = seeds.astype(bool) & mask
     dil = dilate8 if connectivity == 8 else dilate4
@@ -138,7 +155,14 @@ def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 8,
 def label_components(mask: jax.Array, connectivity: int = 8,
                      max_iters: int = 4096) -> jax.Array:
     """CC labels for bool [B,H,W]: int32 [B,H,W], label = min flat index in
-    the component; background = H*W (one past the largest valid label)."""
+    the component; background = H*W (one past the largest valid label).
+
+    On TPU the 8-connectivity case runs the Pallas doubling-scan band
+    kernel (see pallas/flood_kernel.py)."""
+    if connectivity == 8 and _use_pallas_flood():
+        from .pallas.flood_kernel import label_components_pallas
+
+        return label_components_pallas(mask, max_iters=min(max_iters, 512))
     mask = mask.astype(bool)
     b, h, w = mask.shape
     big = h * w
