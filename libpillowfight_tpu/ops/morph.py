@@ -29,9 +29,11 @@ import jax.numpy as jnp
 
 
 def _use_pallas_flood() -> bool:
-    """Pallas flood/label band kernels on accelerators; XLA scan fallback
-    with PF_NO_PALLAS_FLOOD=1 (escape hatch while the TPU path hardens)."""
-    if os.environ.get("PF_NO_PALLAS_FLOOD"):
+    """Opt-in (PF_PALLAS_FLOOD=1): the Pallas band kernels are verified
+    exact on-chip at widths <= ~384 but the axon remote-compiler crashes
+    on page-width shapes; default path is the XLA multigrid fixed point
+    until the Mosaic issue is resolved."""
+    if not os.environ.get("PF_PALLAS_FLOOD"):
         return False
     return jax.default_backend() not in ("cpu",)
 
@@ -112,21 +114,9 @@ def _seg_min_scan_1d(mask: jax.Array, label: jax.Array, axis: int, big: int) -> 
 # reachability (hysteresis / flood fill)
 # --------------------------------------------------------------------------
 
-def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 8,
-                max_iters: int = 4096) -> jax.Array:
-    """All mask pixels connected (4/8-conn) to a seed. bool [B,H,W] each.
-
-    Exact fixed point: while_loop until the reached set stops growing.
-    On TPU the 8-connectivity case runs the Pallas band kernel (one HBM
-    sweep per round, doubling scans in VMEM) instead of the XLA
-    associative-scan round (~44 materialized sweeps).
-    """
-    if connectivity == 8 and _use_pallas_flood():
-        from .pallas.flood_kernel import flood_reach_pallas
-
-        return flood_reach_pallas(seeds, mask, max_iters=min(max_iters, 512))
-    mask = mask.astype(bool)
-    seeds = seeds.astype(bool) & mask
+def _flood_fixed_point(seeds: jax.Array, mask: jax.Array, connectivity: int,
+                       max_iters: int) -> jax.Array:
+    """Plain fixed point: (row-scan, col-scan, gated dilation) rounds."""
     dil = dilate8 if connectivity == 8 else dilate4
 
     def round_(r):
@@ -146,6 +136,47 @@ def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 8,
 
     r, _, _ = jax.lax.while_loop(cond, body, (round_(seeds), jnp.bool_(True), 1))
     return r
+
+
+_COARSE = 4  # multigrid coarsening factor
+
+
+def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 8,
+                max_iters: int = 4096) -> jax.Array:
+    """All mask pixels connected (4/8-conn) to a seed. bool [B,H,W] each.
+
+    Exact fixed point, accelerated by one multigrid level: the mask is
+    coarsened conservatively (a coarse cell is mask iff its CxC block is
+    ALL mask, so coarse connectivity implies full-res connectivity), the
+    flood runs on the 16x-smaller grid first, and its upsampled result
+    seeds the full-resolution fixed point. Solid regions (black scan
+    borders — the expensive blackfilter case) converge at the coarse
+    level; the full-res loop only refines boundaries, so it needs a
+    couple of rounds instead of O(region diameter / scan reach).
+    Sound: coarse reach is a subset of true reach, and the final
+    full-res fixed point is exact regardless of the starting subset.
+    """
+    if connectivity == 8 and _use_pallas_flood():
+        from .pallas.flood_kernel import flood_reach_pallas
+
+        return flood_reach_pallas(seeds, mask, max_iters=min(max_iters, 512))
+    mask = mask.astype(bool)
+    seeds = seeds.astype(bool) & mask
+
+    b, h, w = mask.shape
+    c = _COARSE
+    if h >= 4 * c and w >= 4 * c:
+        ph, pw = -h % c, -w % c
+        mp = jnp.pad(mask, ((0, 0), (0, ph), (0, pw)))
+        sp = jnp.pad(seeds, ((0, 0), (0, ph), (0, pw)))
+        hc, wc = (h + ph) // c, (w + pw) // c
+        blocks_all = mp.reshape(b, hc, c, wc, c).all(axis=(2, 4))
+        seeds_any = sp.reshape(b, hc, c, wc, c).any(axis=(2, 4))
+        r_c = _flood_fixed_point(seeds_any & blocks_all, blocks_all,
+                                 connectivity, max_iters)
+        up = jnp.repeat(jnp.repeat(r_c, c, axis=1), c, axis=2)[:, :h, :w]
+        seeds = seeds | (up & mask)
+    return _flood_fixed_point(seeds, mask, connectivity, max_iters)
 
 
 # --------------------------------------------------------------------------
