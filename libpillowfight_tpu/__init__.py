@@ -9,7 +9,7 @@ Two API surfaces:
   here): pillowfight drop-in, PIL.Image in/out, one call per image.
 """
 
-from . import compat, core, ops, parallel
+from . import compat, core, io, ops, parallel
 from .compat import (
     SWT_OUTPUT_BW_TEXT,
     SWT_OUTPUT_GRAYSCALE_TEXT,
@@ -32,7 +32,7 @@ from .ops.swt import swt
 from .version import __version__, get_version
 
 __all__ = [
-    "compat", "core", "ops", "parallel",
+    "compat", "core", "io", "ops", "parallel",
     "ace", "canny", "compare", "gaussian", "get_version", "sobel", "swt",
     "unpaper_blackfilter", "unpaper_blurfilter", "unpaper_border",
     "unpaper_grayfilter", "unpaper_masks", "unpaper_noisefilter",
