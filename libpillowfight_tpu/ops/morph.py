@@ -330,6 +330,105 @@ def small_component_mask(labels: jax.Array, mask: jax.Array,
     return mask & (cnt <= max_size)
 
 
+def small_cluster_mask(mask: jax.Array, k: int, connectivity: int = 8) -> jax.Array:
+    """Pixels whose 8-connected cluster has <= k members. Exact, local,
+    scan-free, loop-free — no global CC labeling.
+
+    This is the TPU-native form of the reference noisefilter's per-pixel
+    *bounded flood count* (ref: src/pillowfight/noisefilter.c — SURVEY.md
+    §2.2): each pixel p carries a (2k+1)^2-bit bitboard of window offsets
+    reachable from p within j steps through the mask; k bit-parallel
+    dilation steps compute |B_k(p)| (the graph ball) exactly, and
+        |cluster(p)| <= k  <=>  |B_k(p)| <= k
+    (if the cluster has <= k pixels its diameter is < k, so the ball IS
+    the cluster; if it has more, BFS layers stay nonempty so the ball has
+    >= k+1 members). The bitboards are packed into ceil((2k+1)^2/32)
+    uint32 planes, so one step is ~100 fused VPU ops on [B,H,W] words —
+    no while_loop, no segmented scans, no (2k+1)^2-shift label count.
+    """
+    assert connectivity == 8, "noisefilter clusters are 8-connected"
+    mask = mask.astype(bool)
+    s = 2 * k + 1
+    nb = s * s
+    nw = (nb + 31) // 32
+    u32 = jnp.uint32
+
+    # -- window-mask bitboards: bit (dy+k)*s+(dx+k) of M = mask[p+(dy,dx)]
+    m_words = [jnp.zeros(mask.shape, u32) for _ in range(nw)]
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            b = (dy + k) * s + (dx + k)
+            w, o = divmod(b, 32)
+            m_words[w] = m_words[w] | (
+                _shift2d(mask, dy, dx, False).astype(u32) << u32(o)
+            )
+
+    # -- destination-validity constants per direction: bit b is a valid
+    # target of a shift by (ey,ex) iff its dx-ex stays inside the window
+    # (otherwise the packed shift aliased a neighboring row) and b < nb
+    def _valid_word(ex: int, w: int) -> int:
+        val = 0
+        for bit in range(32):
+            b = w * 32 + bit
+            if b >= nb:
+                continue
+            dx = b % s - k
+            if -k <= dx - ex <= k:
+                val |= 1 << bit
+        return val
+
+    dirs = [(ey, ex) for ey in (-1, 0, 1) for ex in (-1, 0, 1)
+            if (ey, ex) != (0, 0)]
+    valid = {
+        (ey, ex): [u32(_valid_word(ex, w)) for w in range(nw)]
+        for ey, ex in dirs
+    }
+
+    def _bit_shift(words, amt):
+        """Shift the nb-bit board by `amt` bit positions (zero fill)."""
+        if amt == 0:
+            return list(words)
+        out = []
+        if amt > 0:
+            lo, hi = u32(amt), u32(32 - amt)
+            for w in range(nw):
+                v = words[w] << lo
+                if w > 0:
+                    v = v | (words[w - 1] >> hi)
+                out.append(v)
+        else:
+            lo, hi = u32(-amt), u32(32 + amt)
+            for w in range(nw):
+                v = words[w] >> lo
+                if w + 1 < nw:
+                    v = v | (words[w + 1] << hi)
+                out.append(v)
+        return out
+
+    # -- init: center bit set on mask pixels
+    c = k * s + k
+    cw, co = divmod(c, 32)
+    r = [
+        jnp.where(mask, u32(1 << co), u32(0)) if w == cw
+        else jnp.zeros(mask.shape, u32)
+        for w in range(nw)
+    ]
+
+    # -- k bit-parallel dilation steps (monotone: identity term included)
+    for _ in range(k):
+        acc = list(r)
+        for (ey, ex) in dirs:
+            shifted = _bit_shift(r, ey * s + ex)
+            vm = valid[(ey, ex)]
+            for w in range(nw):
+                acc[w] = acc[w] | (shifted[w] & vm[w])
+        r = [acc[w] & m_words[w] for w in range(nw)]
+
+    size = sum(jax.lax.population_count(r[w]).astype(jnp.int32)
+               for w in range(nw))
+    return mask & (size <= k)
+
+
 def component_sizes(labels: jax.Array) -> jax.Array:
     """Per-pixel size of its component. labels int32 [B,H,W] from
     label_components (background = H*W). Returns int32 [B,H,W] (0 for bg)."""

@@ -3,11 +3,12 @@
 Erases speckle noise: every 8-connected cluster of non-white pixels with
 at most `intensity` members is wiped to white.
 
-TPU re-design: the reference's per-pixel bounded flood count becomes one
-global connected-component labeling (morph.label_components) followed by
-a scatter-add histogram of component sizes — every cluster on the page is
-measured in a single data-parallel pass instead of millions of tiny BFS
-walks.
+TPU re-design: the reference's per-pixel bounded flood count becomes a
+bit-parallel bounded flood (morph.small_cluster_mask): every pixel
+carries a packed bitboard of locally reachable window offsets, k fused
+VPU dilation steps compute each pixel's exact graph-ball size, and the
+<= intensity decision falls out with no global labeling, no while_loop,
+and no scatter — every cluster on the page is measured simultaneously.
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import jax
 
 from ...core import constants as C
 from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
-from ..morph import label_components, small_component_mask
+from ..morph import small_cluster_mask
 from .common import nonwhite_mask, wipe_white
 
 
@@ -25,6 +26,5 @@ def unpaper_noisefilter(
 ) -> jax.Array:
     pages, unb = ensure_batched(pages)
     mask = nonwhite_mask(rgba_to_gray(pages))
-    labels = label_components(mask, connectivity=8)
-    wipe = small_component_mask(labels, mask, intensity)
+    wipe = small_cluster_mask(mask, intensity, connectivity=8)
     return maybe_unbatch(wipe_white(pages, wipe), unb)

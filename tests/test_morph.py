@@ -111,3 +111,31 @@ def test_label_components_links_rows():
         )[0]
     )
     assert got[0, 0] == got[2, 4]
+
+
+def test_small_cluster_mask_matches_scipy(rng):
+    """Bit-parallel bounded ball size vs exact scipy component sizes."""
+    for trial in range(4):
+        mask = rng.random((40, 56)) < (0.15 + 0.15 * trial)
+        labels, n = scipy.ndimage.label(mask, structure=STRUCT8)
+        sizes = np.bincount(labels.ravel(), minlength=n + 1)
+        for k in (1, 2, 4, 6):
+            got = np.asarray(
+                morph.small_cluster_mask(jnp.asarray(mask)[None], k)[0]
+            )
+            want = mask & (sizes[labels] <= k)
+            np.testing.assert_array_equal(got, want, err_msg=f"k={k} t={trial}")
+
+
+def test_small_cluster_mask_exact_boundary():
+    """Clusters of exactly k and k+1 pixels straddle the threshold."""
+    mask = np.zeros((16, 32), bool)
+    mask[2, 2:6] = True          # 4-pixel line
+    mask[8, 2:7] = True          # 5-pixel line
+    mask[2, 20] = True           # singleton
+    mask[10:12, 20:22] = True    # 2x2 square (4 px, diagonal-connected)
+    got = np.asarray(morph.small_cluster_mask(jnp.asarray(mask)[None], 4)[0])
+    want = mask.copy()
+    want[8, 2:7] = False         # the only cluster with > 4 pixels survives
+    np.testing.assert_array_equal(got, ~np.logical_xor(got, want) & got)
+    np.testing.assert_array_equal(got, want)

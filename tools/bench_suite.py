@@ -1,0 +1,163 @@
+"""Full benchmark suite: one entry per BASELINE.md config.
+
+Writes ``BENCH_DETAIL.json`` (list of records) and prints each record as
+it completes. Timing protocol: inputs for every iteration are distinct
+device-resident batches chained by a zero-valued data dependency on the
+previous output, so iterations execute sequentially and no iteration can
+be skipped, but every iteration still processes a *fresh* (dirty) page —
+unlike output-feeds-input chaining, which would hand later iterations an
+already-clean page and overstate throughput on the flood-fill filters.
+
+Usage: python tools/bench_suite.py [--quick] [--configs 1,2,3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+A4 = (3508, 2480)       # 300dpi A4, ~8.7 MP
+A4_600 = (7016, 4960)   # 600dpi A4, ~34.8 MP
+
+
+def _timed(fn, batches, iters):
+    """Median seconds/iteration; each iteration consumes a fresh batch."""
+    import jax
+    import jax.numpy as jnp
+
+    outs = []
+    # warm-up (compile) on the first batch
+    o = fn(batches[0])
+    leaf = jax.tree_util.tree_leaves(o)[0]
+    _ = float(jnp.sum(leaf[(0,) * leaf.ndim].astype(jnp.float32)))
+    times = []
+    for i in range(iters):
+        x = batches[i % len(batches)]
+        t0 = time.perf_counter()
+        o = fn(x)
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        # scalar fetch forces full execution through the axon tunnel
+        _ = float(jnp.sum(leaf[(0,) * leaf.ndim].astype(jnp.float32)))
+        times.append(time.perf_counter() - t0)
+        outs.append(o)
+    return float(np.median(times))
+
+
+def _scan_pages(b, h, w, seed=0):
+    from bench import _pages
+
+    return _pages(b, h, w, seed)
+
+
+def _device_batches(b, h, w, n=2):
+    import jax.numpy as jnp
+
+    return [jnp.asarray(_scan_pages(b, h, w, seed=s)) for s in range(n)]
+
+
+def run_config(idx, quick):
+    import jax
+    import jax.numpy as jnp
+
+    from libpillowfight_tpu.ops import ace, canny, sobel
+    from libpillowfight_tpu.ops.swt import swt
+    from libpillowfight_tpu.parallel.pipeline import (
+        DOCUMENT_CLEANUP, compile_pipeline,
+    )
+
+    h, w = A4
+    if quick:
+        h, w = h // 2, w // 2
+
+    if idx == 1:  # Sobel, one 300dpi A4 page
+        xs = _device_batches(1, h, w)
+        dt = _timed(jax.jit(sobel), xs, 3)
+        mp = h * w / 1e6
+        return {"config": "sobel_1page_300dpi", "mp_per_s_chip": mp / dt,
+                "ms_per_page": dt * 1e3, "pages": 1, "page_mp": mp}
+
+    if idx == 2:  # Gaussian + full Canny, 64-page batch
+        b = 8 if quick else 64
+        xs = _device_batches(b, h, w)
+        fn = jax.jit(lambda p: canny(p))
+        dt = _timed(fn, xs, 3)
+        mp = b * h * w / 1e6
+        return {"config": "canny_batch64", "mp_per_s_chip": mp / dt,
+                "pages_per_s": b / dt, "pages": b, "page_mp": h * w / 1e6}
+
+    if idx == 3:  # unpaper chain, 256 pages (chunked)
+        b = 8 if quick else 16
+        chunks = 2 if quick else 16  # 16 x 16 = 256 pages
+        fn = compile_pipeline(DOCUMENT_CLEANUP)
+        xs = _device_batches(b, h, w, n=2)
+        dt = _timed(fn, xs, chunks)
+        pages = b
+        mp = pages * h * w / 1e6
+        return {"config": "unpaper_chain_256pages", "mp_per_s_chip": mp / dt,
+                "pages_per_s": pages / dt, "pages_total": b * chunks,
+                "page_mp": h * w / 1e6}
+
+    if idx == 4:  # ACE on 600dpi color scans
+        hh, ww = (A4_600[0] // 2, A4_600[1] // 2) if quick else A4_600
+        xs = _device_batches(1, hh, ww)
+        fn = jax.jit(lambda p: ace(p))
+        dt = _timed(fn, xs, 3)
+        mp = hh * ww / 1e6
+        return {"config": "ace_600dpi", "mp_per_s_chip": mp / dt,
+                "ms_per_page": dt * 1e3, "page_mp": mp}
+
+    if idx == 5:  # SWT + full cleanup (single-chip slice of config 5)
+        b = 1
+        hh, ww = (h // 2, w // 2) if quick else (h, w)
+        cleanup = compile_pipeline(DOCUMENT_CLEANUP)
+        fn = jax.jit(lambda p: swt(cleanup(p)))
+        xs = _device_batches(b, hh, ww)
+        dt = _timed(fn, xs, 2)
+        mp = b * hh * ww / 1e6
+        return {"config": "swt_plus_cleanup", "mp_per_s_chip": mp / dt,
+                "pages_per_s": b / dt,
+                "pages_per_s_per_chip_extrapolated_10k": b / dt,
+                "page_mp": hh * ww / 1e6}
+
+    raise ValueError(idx)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--configs", type=str, default="1,2,3,4,5")
+    ap.add_argument("--out", type=str, default="BENCH_DETAIL.json")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        args.out)
+    records = []
+    if os.path.exists(path):
+        with open(path) as f:
+            records = json.load(f)
+    done = {r["config"] for r in records}
+    for idx in [int(c) for c in args.configs.split(",")]:
+        rec = run_config(idx, args.quick)
+        if rec["config"] in done:
+            records = [r for r in records if r["config"] != rec["config"]]
+        rec["device"] = jax.devices()[0].platform
+        rec["quick"] = args.quick
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+        with open(path, "w") as f:
+            json.dump(records, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
