@@ -50,20 +50,22 @@ def _bench_tpu(pages, iters=3):
     )
 
     spec = normalize_spec(DOCUMENT_CLEANUP)
-    x = jnp.asarray(pages)
+    # two distinct device-resident dirty batches: every timed iteration
+    # processes a FRESH page (output-feeds-input chaining would hand later
+    # iterations an already-clean page, understating the flood-fill work)
+    xs = [jnp.asarray(pages), jnp.asarray(_pages(*pages.shape[:3], seed=1))]
     fn = jax.jit(lambda p: run_pipeline(p, spec))
     # warm up + force real execution with a scalar fetch (block_until_ready
     # through the axon tunnel can return before execution finishes)
-    out = fn(x)
+    out = fn(xs[0])
     _ = float(jnp.sum(out[..., 0].astype(jnp.int32)))
-    # chained iterations: each output feeds the next input so the final
-    # scalar fetch forces the whole chain — honest amortized timing
-    t0 = time.perf_counter()
-    out = x
-    for _ in range(iters):
-        out = fn(out)
-    _ = float(jnp.sum(out[..., 0].astype(jnp.int32)))
-    dt = (time.perf_counter() - t0) / iters
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = fn(xs[i % 2])
+        _ = float(jnp.sum(out[..., 0].astype(jnp.int32)))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     mp = pages.shape[0] * pages.shape[1] * pages.shape[2] / 1e6
     return mp / dt
 
