@@ -4,26 +4,34 @@ Ref: src/pillowfight/swt.c pf_swt (a port of CCV/DetectText) — SURVEY.md
 §2.2/§3.3. The reference walks rays with pointer arithmetic, qsorts each
 ray for the median clamp, and merges connected components sequentially.
 
-TPU re-design (everything static-shaped, jit-safe, batched over pages):
+TPU re-design (everything static-shaped, jit-safe, batched over pages).
+Random-access gathers/scatters run at ~20-50M elem/s on TPU — each
+1M-element gather costs as much as ~500 dense page sweeps — so the ray
+machinery is reformulated to be *dense and shift-based*:
 
 1. Edge map + gradients come from the shared canny/sobel/gaussian stack.
-2. Edge pixels are *compacted* to a fixed-size list (``jnp.nonzero`` with
-   a static ``size``), so all later work is proportional to the number of
-   edges, not the page area.
-3. Ray casting is a bounded ``lax.scan`` over ray steps (static
-   ``SWT_MAX_RAY_LEN``): every edge pixel marches in lock-step along its
-   quantized gradient until an opposing edge (gradient within pi/6 of
-   anti-parallel) terminates the ray.
-4. Stroke widths are committed with scatter-min (`.at[idx].min`) — the
-   data-parallel replacement for the reference's per-ray write loops.
-5. The per-ray median clamp gathers each ray's stroke widths into a
-   [edges, max_len] block, sorts along the ray axis (one vectorized sort
-   instead of qsort-per-ray) and scatter-mins the median back.
+2. Ray directions are quantized to 16 primitive integer vectors
+   (SWT_N_DIRS; axis, diagonal and knight moves, max error ~13 deg vs the
+   reference's continuous march — well inside the pi/6 opposing-gradient
+   tolerance). A ray of class k visits multiples of v_k (plus the
+   intermediate cell for knight moves, so 1-px canny edge lines cannot be
+   jumped).
+3. First-edge distance for EVERY pixel along every class is computed by
+   pointer doubling over static shifts: log2(T) dense select passes per
+   class carry (euclidean distance, class-at-first-edge). One set of 16
+   distance maps serves both polarity passes (a dark-on-light ray of
+   class k is a light-on-dark ray of class k+8).
+4. Stroke widths are committed by marching the *gated width map* t steps
+   along v_k with dynamic rolls inside a while_loop bounded by the
+   longest VALID ray on the page (misses never march) — pure dense
+   min/select per step, no scatters.
+5. The per-ray median clamp gathers an evenly-subsampled 17-point
+   profile per compacted valid ray (the only gather in the kernel),
+   sorts once, writes medians back to their unique anchor pixels, and
+   re-runs the dense commit march with medians.
 6. Connected components over similar stroke widths use
-   morph.label_components_links (pairwise-gated parallel label
-   propagation); letter filtering is computed from per-component
-   scatter-add statistics; the nested-box test compacts component boxes
-   to a fixed-size list and does one O(K^2) containment pass.
+   morph.label_components_links; per-component statistics compact the
+   valid-SWT pixels first so the scatter-adds touch ~1/8 of the page.
 
 Outputs (enum parity with the reference):
   SWT_OUTPUT_BW_TEXT         0: detected letter pixels black on white
@@ -37,6 +45,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import constants as C
 from ..core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
@@ -47,70 +56,143 @@ from .sobel import sobel_on_matrix
 
 _INF = jnp.float32(1e9)
 
+# 16 primitive direction vectors (dy, dx), ordered by angle; class k + 8
+# is the opposite direction. Knight moves carry an intermediate cell
+# (the rounded half-step) so digital rays cannot jump a 1-px edge line.
+_VECS = (
+    (0, 1), (1, 2), (1, 1), (2, 1),
+    (1, 0), (2, -1), (1, -1), (1, -2),
+    (0, -1), (-1, -2), (-1, -1), (-2, -1),
+    (-1, 0), (-2, 1), (1, -1 + 2), (-1, 2),
+)
+# fix two entries (typo-proof, computed): classes 14/15 are (-2,1),(-1,2)
+_VECS = (
+    (0, 1), (1, 2), (1, 1), (2, 1),
+    (1, 0), (2, -1), (1, -1), (1, -2),
+    (0, -1), (-1, -2), (-1, -1), (-2, -1),
+    (-1, 0), (-2, 1), (-1, 1), (-1, 2),
+)
+_NDIR = len(_VECS)
+_ANGLES = np.arctan2([v[0] for v in _VECS], [v[1] for v in _VECS])
+_NORMS = np.hypot([v[0] for v in _VECS], [v[1] for v in _VECS])
 
-# --------------------------------------------------------------------------
-# ray casting (single page; vmapped over the batch)
-# --------------------------------------------------------------------------
 
-def _cast_rays(edges, ux, uy, sign, h, w, max_edges, max_len):
-    """March every edge pixel along sign*unit-gradient.
+def _half(v):
+    """Intermediate cell of one v-step (knight moves only), else None."""
+    w = (int(np.round(v[0] / 2.0)), int(np.round(v[1] / 2.0)))
+    return w if w != (0, 0) and w != v else None
 
-    edges bool [H,W]; ux/uy f32 [H,W] unit gradient. Returns
-    (ey, ex int32 [E] edge coords, valid bool [E], hit_t int32 [E],
-    sw f32 [E] euclidean stroke width).
-    """
-    ey, ex = jnp.nonzero(edges, size=max_edges, fill_value=-1)
-    is_edge = ey >= 0
-    ey_s = jnp.maximum(ey, 0)
-    ex_s = jnp.maximum(ex, 0)
 
-    dirx = sign * ux[ey_s, ex_s]
-    diry = sign * uy[ey_s, ex_s]
-    u0x = ux[ey_s, ex_s]
-    u0y = uy[ey_s, ex_s]
-    cos_tol = -jnp.cos(jnp.float32(C.SWT_RAY_ANGLE_TOLERANCE))
+def _shift_static(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
+    """out[y, x] = x[y + dy, x + dx], `fill` outside. x is [H, W]."""
+    h, w = x.shape
+    py, px = abs(dy), abs(dx)
+    p = jnp.pad(x, ((py, py), (px, px)), constant_values=fill)
+    return p[py + dy : py + dy + h, px + dx : px + dx + w]
 
-    def step(carry, t):
-        found, hit_t = carry
-        fy = ey_s.astype(jnp.float32) + diry * t.astype(jnp.float32)
-        fx = ex_s.astype(jnp.float32) + dirx * t.astype(jnp.float32)
-        iy = jnp.round(fy).astype(jnp.int32)
-        ix = jnp.round(fx).astype(jnp.int32)
-        inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-        iy_c = jnp.clip(iy, 0, h - 1)
-        ix_c = jnp.clip(ix, 0, w - 1)
-        at_edge = edges[iy_c, ix_c] & inb
-        # opposing gradient: within pi/6 of anti-parallel to the start's
-        opposing = (u0x * ux[iy_c, ix_c] + u0y * uy[iy_c, ix_c]) <= cos_tol
-        moved = (iy != ey_s) | (ix != ex_s)
-        hit = at_edge & opposing & moved & ~found & is_edge
-        hit_t = jnp.where(hit, t, hit_t)
-        # a non-opposing edge crossing also ends the walk (ray discarded),
-        # matching the reference's "hit an edge" termination
-        stop = at_edge & moved & ~found
-        found = found | hit | stop | ~inb
-        return (found, hit_t), None
 
-    ts = jnp.arange(1, max_len + 1, dtype=jnp.int32)
-    (found, hit_t), _ = jax.lax.scan(
-        step, (jnp.zeros(max_edges, bool), jnp.full(max_edges, -1, jnp.int32)), ts
+def _roll_dyn(x: jax.Array, ty, tx, fill) -> jax.Array:
+    """out[y, x] = x[y + ty, x + tx] with traced integer offsets."""
+    h, w = x.shape
+    rolled = jnp.roll(x, (-ty, -tx), axis=(0, 1))
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ok = ((ys + ty) >= 0) & ((ys + ty) < h) & ((xs + tx) >= 0) & ((xs + tx) < w)
+    return jnp.where(ok, rolled, fill)
+
+
+def _quantize_dirs(ux: jax.Array, uy: jax.Array) -> jax.Array:
+    """Nearest primitive-vector class (int8) for unit directions."""
+    ang = jnp.arctan2(uy, ux)  # [-pi, pi]
+    # distance on the circle to each class angle
+    diffs = jnp.abs(
+        jnp.mod(ang[..., None] - jnp.asarray(_ANGLES, jnp.float32) + np.pi,
+                2 * np.pi) - np.pi
     )
-    del found
-    valid = (hit_t > 0) & is_edge
-    tf = hit_t.astype(jnp.float32)
-    sw = jnp.sqrt((dirx * tf) ** 2 + (diry * tf) ** 2)
-    sw = jnp.where(valid, jnp.maximum(sw, 1.0), _INF)
-    return ey_s, ex_s, valid, hit_t, sw
+    return jnp.argmin(diffs, axis=-1).astype(jnp.int8)
 
 
-def _ray_positions(ey, ex, dirx, diry, t):
-    fy = ey.astype(jnp.float32) + diry * t.astype(jnp.float32)
-    fx = ex.astype(jnp.float32) + dirx * t.astype(jnp.float32)
-    return jnp.round(fy).astype(jnp.int32), jnp.round(fx).astype(jnp.int32)
+def _first_edge_along(edge_cls: jax.Array, k: int, t_units: int):
+    """First edge pixel along direction class k from every pixel.
+
+    edge_cls int8 [H,W]: class id at edge pixels, -1 elsewhere. Checks
+    the intermediate half-step cell first for knight vectors (a digital
+    ray must not pass through a 1-px edge). Pointer doubling: after step
+    j the carry holds the first edge within 2^j v-steps, so log2(t_units)
+    static-shift select passes compute every pixel's first hit.
+
+    Returns (dist f32 [H,W] euclidean distance, units i32 [H,W] v-step
+    count, cls int8 [H,W] class at the hit; INF / -1 on miss).
+    """
+    v = _VECS[k]
+    half = _half(v)
+    nv = float(_NORMS[k])
+
+    # one-step base case
+    ev = _shift_static(edge_cls, v[0], v[1], -1)
+    d = jnp.where(ev >= 0, jnp.float32(nv), _INF)
+    u = jnp.where(ev >= 0, 1, 0).astype(jnp.int32)
+    c = jnp.where(ev >= 0, ev, -1).astype(jnp.int8)
+    if half is not None:
+        eh = _shift_static(edge_cls, half[0], half[1], -1)
+        hit_h = eh >= 0
+        d = jnp.where(hit_h, jnp.float32(np.hypot(*half)), d)
+        u = jnp.where(hit_h, 1, u)  # intermediate counts as the 1st step
+        c = jnp.where(hit_h, eh, c)
+
+    step = 1
+    while step < t_units:
+        sy, sx = step * v[0], step * v[1]
+        d2 = _shift_static(d, sy, sx, _INF)
+        u2 = _shift_static(u, sy, sx, 0)
+        c2 = _shift_static(c, sy, sx, -1)
+        miss = d >= _INF
+        ext = d2 < _INF
+        d = jnp.where(miss & ext, step * nv + d2, d)
+        u = jnp.where(miss & ext, step + u2, u)
+        c = jnp.where(miss & ext, c2, c)
+        step *= 2
+    return d, u, c
 
 
-def _swt_map_one(gray, edges, sign, max_edges, max_len):
-    """Stroke-width map for one page and one polarity. f32 [H,W], _INF = none."""
+def _commit_march(swt, value_map, units_map, k: int, t_cap):
+    """swt[p] = min(swt[p], value at anchor a = p - t*v_k) for every
+    anchor whose ray covers p (t <= units[a]); also covers knight-move
+    intermediate cells. Dense dynamic rolls in a while_loop bounded by
+    the longest valid ray (t_cap, traced scalar)."""
+    v = _VECS[k]
+    half = _half(v)
+
+    def body(state):
+        t, acc = state
+        ty, tx = t * v[0], t * v[1]
+        val = _roll_dyn(value_map, -ty, -tx, _INF)
+        un = _roll_dyn(units_map, -ty, -tx, 0)
+        acc = jnp.minimum(acc, jnp.where(un >= t, val, _INF))
+        if half is not None:
+            hy, hx = (t - 1) * v[0] + half[0], (t - 1) * v[1] + half[1]
+            val_h = _roll_dyn(value_map, -hy, -hx, _INF)
+            un_h = _roll_dyn(units_map, -hy, -hx, 0)
+            acc = jnp.minimum(acc, jnp.where(un_h >= t, val_h, _INF))
+        return t + 1, acc
+
+    def cond(state):
+        return state[0] <= t_cap
+
+    _, swt = jax.lax.while_loop(cond, body, (jnp.int32(1), swt))
+    return swt
+
+
+_MED_SAMPLES = 17  # evenly subsampled ray profile for the median clamp
+
+
+def _swt_maps_one(gray, edges, max_rays, max_len):
+    """Both polarities' stroke-width maps for one page.
+
+    Returns (swt_minus, swt_plus) f32 [H,W] (_INF = no stroke):
+    sign=-1 marches against the gradient (into dark strokes,
+    dark-on-light text), sign=+1 along it (light-on-dark).
+    """
     h, w = gray.shape
     smoothed = gaussian_on_matrix(
         gray[None], C.CANNY_GAUSSIAN_SIGMA, C.CANNY_GAUSSIAN_NB_STDDEV
@@ -122,53 +204,92 @@ def _swt_map_one(gray, edges, sign, max_edges, max_len):
     norm = jnp.maximum(jnp.sqrt(gx * gx + gy * gy), 1e-6)
     ux, uy = gx / norm, gy / norm
 
-    ey, ex, valid, hit_t, sw = _cast_rays(edges, ux, uy, sign, h, w, max_edges, max_len)
-    dirx = sign * ux[ey, ex]
-    diry = sign * uy[ey, ex]
+    cls = _quantize_dirs(ux, uy)                   # gradient class, int8
+    edge_cls = jnp.where(edges, cls, jnp.int8(-1))
 
-    # ---- pass 1: scatter-min the ray's width over every pixel it covers
-    swt_flat = jnp.full(h * w + 1, _INF, jnp.float32)  # slot h*w = trash
+    # opposing-gradient test on classes: within pi/6 of anti-parallel.
+    # class angular spacing alternates 18.4/26.6 deg, so +-1 class of the
+    # opposite direction covers the tolerance.
+    def opposing(hit_cls, k):
+        diff = jnp.mod(hit_cls.astype(jnp.int32) - (k + _NDIR // 2), _NDIR)
+        return (hit_cls >= 0) & ((diff <= 1) | (diff >= _NDIR - 1))
 
-    def commit(swt_flat, t):
-        iy, ix = _ray_positions(ey, ex, dirx, diry, t)
-        on_ray = valid & (t <= hit_t)
-        inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-        idx = jnp.where(on_ray & inb, iy * w + ix, h * w)
-        return swt_flat.at[idx].min(sw), None
+    swt = {s: jnp.full((h, w), _INF, jnp.float32) for s in (-1, 1)}
+    anchors = {s: [] for s in (-1, 1)}  # per class: (valid, dist, units)
 
-    ts_all = jnp.arange(0, max_len + 1, dtype=jnp.int32)
-    swt_flat, _ = jax.lax.scan(commit, swt_flat, ts_all)
+    for k in range(_NDIR):
+        t_units = max(int(np.ceil(max_len / _NORMS[k])), 1)
+        dist, units, hit_cls = _first_edge_along(edge_cls, k, t_units)
+        ok = opposing(hit_cls, k) & (dist < _INF) & (units <= t_units)
+        for s in (-1, 1):
+            # an edge of gradient class c casts along class c (sign +1)
+            # or c+8 (sign -1)
+            src = (k - (_NDIR // 2 if s == -1 else 0)) % _NDIR
+            is_anchor = (edge_cls == src) & ok
+            width = jnp.where(is_anchor, jnp.maximum(dist, 1.0), _INF)
+            un = jnp.where(is_anchor, units, 0)
+            t_cap = jnp.max(un)
+            swt[s] = jnp.minimum(swt[s], width)  # ray covers its anchor
+            swt[s] = _commit_march(swt[s], width, un, k, t_cap)
+            anchors[s].append((is_anchor, width, un))
 
-    # ---- pass 2: median clamp. Gather ray values, sort, scatter-min median.
-    def gather_vals(_, t):
-        iy, ix = _ray_positions(ey, ex, dirx, diry, t)
-        on_ray = valid & (t <= hit_t)
-        inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-        idx = jnp.where(on_ray & inb, iy * w + ix, h * w)
-        return None, jnp.where(on_ray & inb, swt_flat[idx], _INF)
+    # ---- median clamp (pass 2, ref: swt.c / Epshtein sec. 3.1):
+    # per valid ray, the median of an evenly subsampled swt profile,
+    # re-committed with min along the same ray cells.
+    vy = jnp.asarray([v[0] for v in _VECS], jnp.int32)
+    vx = jnp.asarray([v[1] for v in _VECS], jnp.int32)
+    out = {}
+    for s in (-1, 1):
+        any_anchor = jnp.zeros((h, w), bool)
+        a_units = jnp.zeros((h, w), jnp.int32)
+        a_k = jnp.zeros((h, w), jnp.int8)
+        for k, (is_anchor, _, un) in enumerate(anchors[s]):
+            any_anchor = any_anchor | is_anchor
+            a_units = jnp.where(is_anchor, un, a_units)
+            a_k = jnp.where(is_anchor, jnp.int8(k), a_k)
 
-    _, vals = jax.lax.scan(gather_vals, None, ts_all)  # [T+1, E]
-    vals = jnp.sort(vals, axis=0)
-    n_ray = (hit_t + 1).astype(jnp.int32)
-    median = vals[jnp.clip(n_ray // 2, 0, max_len), jnp.arange(max_edges)]
-    median = jnp.where(valid, median, _INF)
+        ay, ax = jnp.nonzero(any_anchor, size=max_rays, fill_value=-1)
+        valid_r = ay >= 0
+        ays = jnp.maximum(ay, 0)
+        axs = jnp.maximum(ax, 0)
+        r_units = a_units[ays, axs]
+        r_k = a_k[ays, axs].astype(jnp.int32)
+        r_vy = vy[r_k]
+        r_vx = vx[r_k]
 
-    def clamp(swt_flat, t):
-        iy, ix = _ray_positions(ey, ex, dirx, diry, t)
-        on_ray = valid & (t <= hit_t)
-        inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-        idx = jnp.where(on_ray & inb, iy * w + ix, h * w)
-        return swt_flat.at[idx].min(jnp.where(on_ray, median, _INF)), None
+        swt_flat = jnp.concatenate([swt[s].reshape(-1), jnp.array([_INF])])
+        js = jnp.arange(_MED_SAMPLES, dtype=jnp.int32)
+        # evenly spread sample steps 0..units over _MED_SAMPLES slots
+        tj = (js[:, None] * r_units[None, :]) // (_MED_SAMPLES - 1)  # [M,R]
+        py = ays[None, :] + tj * r_vy[None, :]
+        px = axs[None, :] + tj * r_vx[None, :]
+        inb = (py >= 0) & (py < h) & (px >= 0) & (px < w) & valid_r[None, :]
+        idx = jnp.where(inb, py * w + px, h * w)
+        vals = swt_flat[idx]                                   # [M, R]
+        vals = jnp.sort(vals, axis=0)
+        med = vals[_MED_SAMPLES // 2, jnp.arange(max_rays)]
+        med = jnp.where(valid_r, med, _INF)
 
-    swt_flat, _ = jax.lax.scan(clamp, swt_flat, ts_all)
-    return swt_flat[: h * w].reshape(h, w)
+        # medians back onto their (unique) anchor pixels, then re-march
+        med_map = jnp.full(h * w + 1, _INF, jnp.float32)
+        med_idx = jnp.where(valid_r, ays * w + axs, h * w)
+        med_map = med_map.at[med_idx].min(med, unique_indices=False)
+        med_map = med_map[: h * w].reshape(h, w)
+
+        res = jnp.minimum(swt[s], med_map)  # clamp covers the anchor too
+        for k, (is_anchor, _, un) in enumerate(anchors[s]):
+            m = jnp.where(is_anchor, med_map, _INF)
+            u_ = jnp.where(is_anchor & (m < _INF), un, 0)
+            res = _commit_march(res, m, u_, k, jnp.max(u_))
+        out[s] = res
+    return out[-1], out[1]
 
 
 # --------------------------------------------------------------------------
 # letter components
 # --------------------------------------------------------------------------
 
-def _letter_mask_one(gray, swt, sign, max_letters):
+def _letter_mask_one(gray, swt, sign, max_letters, max_valid):
     """Filter SWT components down to letter candidates. bool [H,W].
 
     Polarity consistency gate: the dark-on-light pass only keeps pixels
@@ -177,9 +298,6 @@ def _letter_mask_one(gray, swt, sign, max_letters):
     strokes that inter-letter gaps / blank pages produce.
     """
     h, w = swt.shape
-    # gradient (correlation semantics) points dark -> light, so sign=-1
-    # marches into dark strokes (dark-on-light text) and sign=+1 into
-    # light strokes (light-on-dark text)
     med = jnp.median(gray)
     polarity_ok = jnp.where(sign < 0, gray < med, gray > med)
     swt = jnp.where(polarity_ok, swt, _INF)
@@ -203,20 +321,25 @@ def _letter_mask_one(gray, swt, sign, max_letters):
     links = {d: link(*d)[None] for d in ((0, 1), (1, 0), (1, 1), (1, -1))}
     labels = label_components_links(valid[None], links)[0]  # [H,W], bg = h*w
 
-    # ---- per-component statistics via scatter-add into [h*w+1] buckets
-    flat_lab = labels.reshape(-1)
-    swt_f = jnp.where(valid, swt, 0.0).reshape(-1)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+    # ---- per-component statistics: compact the valid pixels first so the
+    # scatter-adds touch max_valid elements instead of the whole page
+    # (TPU scatters run at ~20M elem/s — SURVEY.md §5 roofline notes)
     nb = h * w + 1
+    cy, cx = jnp.nonzero(valid, size=max_valid, fill_value=-1)
+    c_ok = cy >= 0
+    cys = jnp.maximum(cy, 0)
+    cxs = jnp.maximum(cx, 0)
+    c_lab = jnp.where(c_ok, labels[cys, cxs], h * w)
+    c_swt = jnp.where(c_ok, swt[cys, cxs], 0.0)
+    c_one = c_ok.astype(jnp.float32)
 
-    cnt = jnp.zeros(nb, jnp.float32).at[flat_lab].add(1.0)
-    s1 = jnp.zeros(nb, jnp.float32).at[flat_lab].add(swt_f)
-    s2 = jnp.zeros(nb, jnp.float32).at[flat_lab].add(swt_f * swt_f)
-    ymin = jnp.full(nb, h, jnp.int32).at[flat_lab].min(ys)
-    ymax = jnp.zeros(nb, jnp.int32).at[flat_lab].max(ys)
-    xmin = jnp.full(nb, w, jnp.int32).at[flat_lab].min(xs)
-    xmax = jnp.zeros(nb, jnp.int32).at[flat_lab].max(xs)
+    cnt = jnp.zeros(nb, jnp.float32).at[c_lab].add(c_one)
+    s1 = jnp.zeros(nb, jnp.float32).at[c_lab].add(c_swt)
+    s2 = jnp.zeros(nb, jnp.float32).at[c_lab].add(c_swt * c_swt)
+    ymin = jnp.full(nb, h, jnp.int32).at[c_lab].min(jnp.where(c_ok, cys, h))
+    ymax = jnp.zeros(nb, jnp.int32).at[c_lab].max(jnp.where(c_ok, cys, 0))
+    xmin = jnp.full(nb, w, jnp.int32).at[c_lab].min(jnp.where(c_ok, cxs, w))
+    xmax = jnp.zeros(nb, jnp.int32).at[c_lab].max(jnp.where(c_ok, cxs, 0))
 
     n = jnp.maximum(cnt, 1.0)
     mean_sw = s1 / n
@@ -237,9 +360,8 @@ def _letter_mask_one(gray, swt, sign, max_letters):
 
     # ---- nested-box filter: a component containing > SWT_MAX_NESTED_LETTERS
     # other accepted boxes is a frame, not a letter (ref: swt.c).
-    idx_all = jnp.arange(h * w, dtype=jnp.int32)
-    is_rep = (flat_lab[: h * w] == idx_all) & ok[flat_lab[: h * w]]
-    rep_idx = jnp.nonzero(is_rep, size=max_letters, fill_value=h * w)[0]
+    rep = jnp.where(c_ok & (c_lab == cys * w + cxs) & ok[c_lab], c_lab, h * w)
+    rep_idx = jnp.sort(rep)[:max_letters]
     r_ok = rep_idx < h * w
     ry0 = ymin[rep_idx]
     ry1 = ymax[rep_idx]
@@ -267,7 +389,6 @@ def _letter_mask_one(gray, swt, sign, max_letters):
 def _draw_boxes(pages_rgb, letter, labels_slots=None):
     """Draw red bounding boxes of letter components onto uint8 RGB [H,W,3]."""
     h, w = letter.shape
-    # box edges: dilate the component bbox via per-row/col min/max
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     any_letter = letter.any()
@@ -285,15 +406,16 @@ def _draw_boxes(pages_rgb, letter, labels_slots=None):
     return jnp.where(on_box[..., None], red, pages_rgb)
 
 
-def _swt_one(page, output_type, max_edges, max_len, max_letters):
+def _swt_one(page, output_type, max_rays, max_len, max_letters, max_valid):
     """SWT for one RGBA page [H,W,4]."""
     gray = rgba_to_gray(page[None])[0]
     edges = canny_edge_mask(gray[None])[0]
 
-    letter = jnp.zeros(gray.shape, bool)
-    for sign in (1.0, -1.0):  # dark-on-light and light-on-dark passes
-        swt = _swt_map_one(gray, edges, jnp.float32(sign), max_edges, max_len)
-        letter = letter | _letter_mask_one(gray, swt, sign, max_letters)
+    swt_minus, swt_plus = _swt_maps_one(gray, edges, max_rays, max_len)
+    letter = (
+        _letter_mask_one(gray, swt_minus, -1, max_letters, max_valid)
+        | _letter_mask_one(gray, swt_plus, 1, max_letters, max_valid)
+    )
 
     h, w = gray.shape
     alpha = page[..., 3:]
@@ -311,24 +433,33 @@ def _swt_one(page, output_type, max_edges, max_len, max_letters):
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("output_type", "max_edges", "max_len", "max_letters"))
+@partial(jax.jit, static_argnames=(
+    "output_type", "max_rays", "max_len", "max_letters", "max_valid",
+    "max_edges"))
 def swt(
     pages: jax.Array,
     output_type: int = C.SWT_OUTPUT_BW_TEXT,
-    max_edges: int | None = None,
+    max_rays: int | None = None,
     max_len: int = C.SWT_MAX_RAY_LEN,
     max_letters: int = 512,
+    max_valid: int | None = None,
+    max_edges: int | None = None,  # legacy alias for max_rays
 ) -> jax.Array:
     """Stroke Width Transform. uint8 RGBA [B,H,W,4] (or single page) in/out.
 
-    max_edges bounds the compacted edge list (default: H*W//8); max_len
-    bounds ray length; max_letters bounds the nested-box candidate list.
+    max_rays bounds the compacted valid-ray list for the median clamp
+    (default H*W//32); max_len bounds ray length in pixels; max_valid
+    bounds the compacted stroke-pixel list for component statistics
+    (default H*W//8); max_letters bounds the nested-box candidate list.
     """
     pages, unb = ensure_batched(pages)
     _, h, w, _ = pages.shape
-    if max_edges is None:
-        max_edges = max(h * w // 8, 256)
+    if max_rays is None:
+        max_rays = max_edges if max_edges is not None else max(h * w // 32, 256)
+    if max_valid is None:
+        max_valid = max(h * w // 8, 512)
     out = jax.vmap(
-        lambda p: _swt_one(p, output_type, max_edges, max_len, max_letters)
+        lambda p: _swt_one(p, output_type, max_rays, max_len, max_letters,
+                           max_valid)
     )(pages)
     return maybe_unbatch(out, unb)
