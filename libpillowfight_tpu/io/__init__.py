@@ -180,6 +180,13 @@ class PnmPageSource:
     chunk on the TPU, the pool is already decoding the next sequential
     chunk into the spare buffer; a sequential access pattern therefore
     hides host decode time entirely.
+
+    LIFETIME CONTRACT: the returned array is a *view into an internal
+    double buffer* that the next `__call__` (or the background prefetch
+    of the chunk after next) overwrites. Consume it — transfer it to the
+    device (`jnp.asarray`) or `.copy()` it — before requesting the next
+    chunk. `BatchRunner` satisfies this by construction (it transfers
+    each chunk before asking for another).
     """
 
     def __init__(self, paths, shape: tuple[int, int],

@@ -418,25 +418,35 @@ def small_cluster_mask(mask: jax.Array, k: int, connectivity: int = 8) -> jax.Ar
         for ey, ex in dirs
     }
 
+    zero = jnp.zeros(mask.shape, u32)
+
     def _bit_shift(words, amt):
-        """Shift the nb-bit board by `amt` bit positions (zero fill)."""
+        """Shift the nb-bit board by `amt` bit positions (zero fill).
+
+        amt may exceed a word (|amt| reaches 2k+2 > 32 for k >= 16):
+        decompose into a whole-word offset plus a sub-word bit offset so
+        no XLA shift count is ever >= 32 (shift-by-32 on uint32 is
+        undefined in XLA)."""
         if amt == 0:
             return list(words)
+        wo, bo = divmod(amt if amt > 0 else -amt, 32)
         out = []
-        if amt > 0:
-            lo, hi = u32(amt), u32(32 - amt)
-            for w in range(nw):
-                v = words[w] << lo
-                if w > 0:
-                    v = v | (words[w - 1] >> hi)
-                out.append(v)
-        else:
-            lo, hi = u32(-amt), u32(32 + amt)
-            for w in range(nw):
-                v = words[w] >> lo
-                if w + 1 < nw:
-                    v = v | (words[w + 1] << hi)
-                out.append(v)
+        for w in range(nw):
+            if amt > 0:
+                src, carry = w - wo, w - wo - 1
+            else:
+                src, carry = w + wo, w + wo + 1
+            v = zero
+            if 0 <= src < nw:
+                v = words[src] if bo == 0 else (
+                    words[src] << u32(bo) if amt > 0 else words[src] >> u32(bo)
+                )
+            if bo and 0 <= carry < nw:
+                v = v | (
+                    words[carry] >> u32(32 - bo) if amt > 0
+                    else words[carry] << u32(32 - bo)
+                )
+            out.append(v)
         return out
 
     # -- init: center bit set on mask pixels

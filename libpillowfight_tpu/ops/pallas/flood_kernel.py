@@ -1,20 +1,29 @@
-"""Pallas TPU kernel: flood-fill / hysteresis propagation rounds.
+"""Pallas TPU kernels: flood-fill / hysteresis / CC-label propagation.
 
 Ref: the reference's BFS flood fills (canny.c hysteresis, blackfilter.c,
-SURVEY.md §3.2/§3.4). The XLA path (ops/morph.py) runs two
-associative_scans + a dilation per round — ~44 materialized HBM sweeps
-per round at page scale. This kernel performs one full round (segmented
-OR along rows AND columns by log-shift doubling, plus the 8-neighbor
-gated dilation) on a VMEM-resident row band: one HBM sweep per round.
+noisefilter.c) and swt.c's component merge (SURVEY.md §3.2-§3.4). The XLA
+path (ops/morph.py) runs two segmented associative scans + a dilation per
+round — ~44 materialized HBM sweeps per round at page scale. These
+kernels do one full round (segmented OR/MIN along rows AND columns by
+log-shift doubling, plus the gated 8-neighbor dilation) on a VMEM band:
+one HBM sweep per band pass.
 
-Doubling scheme (per direction): A_k[i] = "cells (i-2^k, i] are all
-mask"; R[i] |= A_k[i] & R[i-2^k]. A_{k+1}[i] = A_k[i] & A_k[i-2^k].
-Wrap-around from pltpu.roll is killed by zeroing the wrapped-in strip
-each step. Columns use the same scheme across the band plus halo rows;
-cross-band propagation is completed by the outer fixed-point loop.
+Cross-band propagation rides the TPU's *sequential grid*: a sweep walks
+the bands top-to-bottom carrying the previous band's last result row in a
+VMEM scratch ("arbitrary" grid dims execute in order on TPU), then a
+second sweep walks bottom-to-top. Information therefore crosses the WHOLE
+page in one down+up pair — the number of fixed-point rounds is set by the
+number of snake turns in the most winding connected path (1-2 for scanned
+documents), not by page height / band count. Stale opposite-side halos
+are also consumed; that is sound because both recurrences are monotone
+(reach only grows, labels only shrink), so a stale value can only
+under-propagate, never corrupt, and the outer while_loop runs to the
+exact fixed point.
 
-dtype: int8 in HBM (4x less traffic than int32), widened to int32 in
-VMEM — Mosaic's dynamic_rotate only supports 32-bit element vectors.
+dtype: reach is int8 in HBM (4x less traffic than int32), widened to
+int32 in VMEM — Mosaic's dynamic_rotate only supports 32-bit lanes.
+Band height adapts to page width so the kernel's scoped-VMEM stack stays
+under the 16 MiB limit (64 rows x 2560 lanes measured to fit).
 """
 
 from __future__ import annotations
@@ -28,13 +37,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 128
+_TILE_CELLS = 64 * 2560  # rows*lanes per band that fit the VMEM stack
 
 
-# NOTE: propagation state is int32 (0/1) inside the kernel — Mosaic's
-# tpu.dynamic_rotate supports only 32-bit element vectors (i1 and i8
-# rejected), so HBM buffers stay int8 for bandwidth and widen on load;
-# &,| are bitwise on 0/1 values.
+def _tile_h(h: int, wp: int) -> int:
+    """Band height for a padded width wp: as tall as the scoped-VMEM
+    stack allows, multiple of 32 (int8 sublane tile), min 32."""
+    return max(32, min(((_TILE_CELLS // wp) // 32) * 32, ((h + 31) // 32) * 32))
+
+
+# NOTE: propagation state is int32 (0/1 for flood) inside the kernel —
+# Mosaic's tpu.dynamic_rotate supports only 32-bit element vectors (i1
+# and i8 rejected); &,| are bitwise on 0/1 values.
 
 
 def _roll_fwd(x, s, axis):
@@ -103,15 +117,17 @@ def _dilate8(r):
     return h | _shift_down(h, 1) | _shift_up(h, 1)
 
 
-def _round_kernel(mp_ref, mc_ref, mn_ref, rp_ref, rc_ref, rn_ref, out_ref,
-                  *, tile_h, width, n_tiles, inner_rounds):
+def _flood_sweep_kernel(mp_ref, mc_ref, mn_ref, rp_ref, rc_ref, rn_ref,
+                        out_ref, carry_ref, *, tile_h, width, n_tiles,
+                        inner_rounds, down):
     i = pl.program_id(1)
+    j = i if down else n_tiles - 1 - i  # actual band index
     zero_row = jnp.zeros((1, width), jnp.int32)
 
     def band(prev, cur, nxt):
-        top = jnp.where(i == 0, zero_row,
+        top = jnp.where(j == 0, zero_row,
                         prev[0, tile_h - 1 :, :].astype(jnp.int32))
-        bot = jnp.where(i == n_tiles - 1, zero_row,
+        bot = jnp.where(j == n_tiles - 1, zero_row,
                         nxt[0, :1, :].astype(jnp.int32))
         mid = cur[0].astype(jnp.int32)
         return jnp.concatenate([top, mid, bot], axis=0)  # [tile_h+2, W]
@@ -119,53 +135,107 @@ def _round_kernel(mp_ref, mc_ref, mn_ref, rp_ref, rc_ref, rn_ref, out_ref,
     m = band(mp_ref, mc_ref, mn_ref)
     r = band(rp_ref, rc_ref, rn_ref) & m
 
+    # fresh halo row carried from the band processed just before this one
+    carry = carry_ref[...].astype(jnp.int32)
+    if down:
+        fresh_top = jnp.where(j == 0, zero_row, carry) & m[:1]
+        r = jnp.concatenate([r[:1] | fresh_top, r[1:]], axis=0)
+    else:
+        fresh_bot = jnp.where(j == n_tiles - 1, zero_row, carry) & m[-1:]
+        r = jnp.concatenate([r[:-1], r[-1:] | fresh_bot], axis=0)
+
     for _ in range(inner_rounds):
         r = _seg_or_doubling(r, m, 1, width)
         r = _seg_or_doubling(r, m, 0, tile_h + 2)
         r = _dilate8(r) & m
 
     out_ref[0] = r[1 : 1 + tile_h, :].astype(jnp.int8)
+    carry_ref[...] = r[tile_h : tile_h + 1, :] if down else r[1:2, :]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("inner_rounds", "interpret"))
-def flood_round_pallas(reach: jax.Array, mask: jax.Array,
-                       inner_rounds: int = 2,
-                       interpret: bool = False) -> jax.Array:
-    """One global flood round. reach/mask int8 [B, H, W] (0/1).
+def _band_specs(n_tiles, tile_h, wp, down):
+    """prev/cur/next block specs for a (possibly reversed) band walk."""
+    def at(fn):
+        return pl.BlockSpec((1, tile_h, wp), fn, memory_space=pltpu.VMEM)
 
-    Performs `inner_rounds` (scanW + scanH + dilate8) iterations on each
-    VMEM band; cross-band column propagation advances one band per call
-    via the 1-row halos, so the caller iterates to a fixed point.
-    """
-    b, h, w = reach.shape
-    tile_h = min(TILE_H, h)
-    ph = -h % tile_h
+    if down:
+        jmap = lambda i: i
+    else:
+        jmap = lambda i: n_tiles - 1 - i
+    prev = at(lambda bb, i: (bb, jnp.maximum(jmap(i) - 1, 0), 0))
+    cur = at(lambda bb, i: (bb, jmap(i), 0))
+    nxt = at(lambda bb, i: (bb, jnp.minimum(jmap(i) + 1, n_tiles - 1), 0))
+    return prev, cur, nxt
+
+
+def _pad_bands(arrs, h, w, fills):
+    """Pad [B,H,W] arrays to (band-multiple, 128-multiple) shapes."""
+    wp = h_pad = None
+    out = []
     pw = -w % 128
-    if ph or pw:
-        reach = jnp.pad(reach, ((0, 0), (0, ph), (0, pw)))
-        mask = jnp.pad(mask, ((0, 0), (0, ph), (0, pw)))
-    hp, wp = h + ph, w + pw
+    tile_h = _tile_h(h, w + pw)
+    ph = -h % tile_h
+    for a, fill in zip(arrs, fills):
+        if ph or pw:
+            a = jnp.pad(a, ((0, 0), (0, ph), (0, pw)), constant_values=fill)
+        out.append(a)
+    return out, h + ph, w + pw, tile_h
+
+
+@functools.partial(jax.jit, static_argnames=("inner_rounds", "interpret",
+                                             "down"))
+def _flood_sweep(reach: jax.Array, mask: jax.Array, down: bool,
+                 inner_rounds: int = 1, interpret: bool = False) -> jax.Array:
+    """One sequential band sweep (top-down or bottom-up) of the flood
+    round. reach/mask int8 [B, H, W] (0/1), already band-padded."""
+    b, hp, wp = reach.shape
+    tile_h = _tile_h(hp, wp)
     n_tiles = hp // tile_h
 
     kernel = functools.partial(
-        _round_kernel, tile_h=tile_h, width=wp, n_tiles=n_tiles,
-        inner_rounds=inner_rounds,
+        _flood_sweep_kernel, tile_h=tile_h, width=wp, n_tiles=n_tiles,
+        inner_rounds=inner_rounds, down=down,
     )
-    band = lambda fn: pl.BlockSpec((1, tile_h, wp), fn,
-                                   memory_space=pltpu.VMEM)
-    prev = band(lambda bb, i: (bb, jnp.maximum(i - 1, 0), 0))
-    cur = band(lambda bb, i: (bb, i, 0))
-    nxt = band(lambda bb, i: (bb, jnp.minimum(i + 1, n_tiles - 1), 0))
-    out = pl.pallas_call(
+    prev, cur, nxt = _band_specs(n_tiles, tile_h, wp, down)
+    return pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[prev, cur, nxt, prev, cur, nxt],
         out_specs=cur,
         out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((1, wp), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(mask, mask, mask, reach, reach, reach)
-    return out[:, :h, :w]
+
+
+def flood_reach_pallas(seeds: jax.Array, mask: jax.Array,
+                       max_iters: int = 256, interpret: bool = False
+                       ) -> jax.Array:
+    """Exact fixed-point flood (8-connectivity). seeds/mask bool [B,H,W]
+    -> bool [B,H,W]. Each round = one down + one up band sweep (2 HBM
+    passes); rounds converge in O(snake turns), not O(page height)."""
+    b, h, w = mask.shape
+    m8 = mask.astype(jnp.int8)
+    r0 = (seeds.astype(bool) & mask.astype(bool)).astype(jnp.int8)
+    (m8, r0), hp, wp, _ = _pad_bands([m8, r0], h, w, [0, 0])
+
+    def round_(r):
+        r = _flood_sweep(r, m8, down=True, interpret=interpret)
+        return _flood_sweep(r, m8, down=False, interpret=interpret)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        r, _, it = state
+        r2 = round_(r)
+        return r2, jnp.any(r2 != r), it + 1
+
+    r, _, _ = jax.lax.while_loop(cond, body, (round_(r0), jnp.bool_(True), 1))
+    return r[:, :h, :w].astype(bool)
 
 
 # ---------------------------------------------------------------- labels
@@ -232,21 +302,36 @@ def _neighbor_min8(lab, big):
                                       _shift_up_i(h, 1, big)))
 
 
-def _label_round_kernel(mp_ref, mc_ref, mn_ref, lp_ref, lc_ref, ln_ref,
-                        out_ref, *, tile_h, width, n_tiles, inner_rounds,
-                        big):
+def _label_sweep_kernel(mp_ref, mc_ref, mn_ref, lp_ref, lc_ref, ln_ref,
+                        out_ref, carry_ref, *, tile_h, width, n_tiles,
+                        inner_rounds, big, down):
     i = pl.program_id(1)
+    j = i if down else n_tiles - 1 - i
 
     def band(prev, cur, nxt, fill):
         frow = jnp.full((1, width), fill, jnp.int32)
-        top = jnp.where(i == 0, frow,
+        top = jnp.where(j == 0, frow,
                         prev[0, tile_h - 1 :, :].astype(jnp.int32))
-        bot = jnp.where(i == n_tiles - 1, frow,
+        bot = jnp.where(j == n_tiles - 1, frow,
                         nxt[0, :1, :].astype(jnp.int32))
         return jnp.concatenate([top, cur[0].astype(jnp.int32), bot], axis=0)
 
     m = band(mp_ref, mc_ref, mn_ref, 0)
     lab = jnp.where(m != 0, band(lp_ref, lc_ref, ln_ref, big), big)
+
+    carry = carry_ref[...]
+    bigrow = jnp.full((1, width), big, jnp.int32)
+    if down:
+        fresh = jnp.where(j == 0, bigrow, carry)
+        lab = jnp.concatenate(
+            [jnp.where(m[:1] != 0, jnp.minimum(lab[:1], fresh), big),
+             lab[1:]], axis=0)
+    else:
+        fresh = jnp.where(j == n_tiles - 1, bigrow, carry)
+        lab = jnp.concatenate(
+            [lab[:-1],
+             jnp.where(m[-1:] != 0, jnp.minimum(lab[-1:], fresh), big)],
+            axis=0)
 
     for _ in range(inner_rounds):
         lab = _seg_min_doubling(lab, m, 1, width, big)
@@ -254,50 +339,41 @@ def _label_round_kernel(mp_ref, mc_ref, mn_ref, lp_ref, lc_ref, ln_ref,
         lab = jnp.where(m != 0, _neighbor_min8(lab, big), big)
 
     out_ref[0] = lab[1 : 1 + tile_h, :]
+    carry_ref[...] = lab[tile_h : tile_h + 1, :] if down else lab[1:2, :]
 
 
-@functools.partial(jax.jit, static_argnames=("inner_rounds", "interpret"))
-def label_round_pallas(labels: jax.Array, mask: jax.Array,
-                       inner_rounds: int = 2,
-                       interpret: bool = False) -> jax.Array:
-    """One global min-label propagation round. labels int32 [B,H,W]
-    (background = big), mask int8 [B,H,W]."""
-    b, h, w = labels.shape
-    big = h * w  # python int: becomes a kernel compile-time constant
-    tile_h = min(TILE_H, h)
-    ph = -h % tile_h
-    pw = -w % 128
-    if ph or pw:
-        labels = jnp.pad(labels, ((0, 0), (0, ph), (0, pw)),
-                         constant_values=h * w)
-        mask = jnp.pad(mask, ((0, 0), (0, ph), (0, pw)))
-    hp, wp = h + ph, w + pw
+@functools.partial(jax.jit, static_argnames=("inner_rounds", "interpret",
+                                             "down", "big"))
+def _label_sweep(labels: jax.Array, mask: jax.Array, down: bool, big: int,
+                 inner_rounds: int = 1, interpret: bool = False) -> jax.Array:
+    """One sequential band sweep of min-label propagation. labels int32
+    [B,H,W] (background = big), mask int8, already band-padded."""
+    b, hp, wp = labels.shape
+    tile_h = _tile_h(hp, wp)
     n_tiles = hp // tile_h
 
     kernel = functools.partial(
-        _label_round_kernel, tile_h=tile_h, width=wp, n_tiles=n_tiles,
-        inner_rounds=inner_rounds, big=big,
+        _label_sweep_kernel, tile_h=tile_h, width=wp, n_tiles=n_tiles,
+        inner_rounds=inner_rounds, big=big, down=down,
     )
-    band = lambda fn: pl.BlockSpec((1, tile_h, wp), fn,
-                                   memory_space=pltpu.VMEM)
-    prev = band(lambda bb, i: (bb, jnp.maximum(i - 1, 0), 0))
-    cur = band(lambda bb, i: (bb, i, 0))
-    nxt = band(lambda bb, i: (bb, jnp.minimum(i + 1, n_tiles - 1), 0))
-    out = pl.pallas_call(
+    prev, cur, nxt = _band_specs(n_tiles, tile_h, wp, down)
+    return pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[prev, cur, nxt, prev, cur, nxt],
         out_specs=cur,
         out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, wp), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(mask, mask, mask, labels, labels, labels)
-    return out[:, :h, :w]
 
 
 def label_components_pallas(mask: jax.Array, max_iters: int = 256,
                             interpret: bool = False) -> jax.Array:
     """Exact CC labels (8-conn, min flat index, background = H*W) via the
-    Pallas round kernel."""
+    sequential sweep kernels."""
     mask_b = mask.astype(bool)
     b, h, w = mask_b.shape
     big = h * w
@@ -307,6 +383,11 @@ def label_components_pallas(mask: jax.Array, max_iters: int = 256,
     )
     lab0 = jnp.where(mask_b, idx, big)
     m8 = mask_b.astype(jnp.int8)
+    (m8, lab0), hp, wp, _ = _pad_bands([m8, lab0], h, w, [0, big])
+
+    def round_(lab):
+        lab = _label_sweep(lab, m8, down=True, big=big, interpret=interpret)
+        return _label_sweep(lab, m8, down=False, big=big, interpret=interpret)
 
     def cond(state):
         _, changed, it = state
@@ -314,31 +395,9 @@ def label_components_pallas(mask: jax.Array, max_iters: int = 256,
 
     def body(state):
         lab, _, it = state
-        lab2 = label_round_pallas(lab, m8, interpret=interpret)
+        lab2 = round_(lab)
         return lab2, jnp.any(lab2 != lab), it + 1
 
-    l1 = label_round_pallas(lab0, m8, interpret=interpret)
-    lab, _, _ = jax.lax.while_loop(cond, body, (l1, jnp.bool_(True), 1))
-    return lab
-
-
-def flood_reach_pallas(seeds: jax.Array, mask: jax.Array,
-                       max_iters: int = 256, interpret: bool = False
-                       ) -> jax.Array:
-    """Exact fixed-point flood (8-connectivity) via the Pallas round
-    kernel. seeds/mask bool [B,H,W] -> bool [B,H,W]."""
-    m8 = mask.astype(jnp.int8)
-    r0 = (seeds.astype(bool) & mask.astype(bool)).astype(jnp.int8)
-
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < max_iters)
-
-    def body(state):
-        r, _, it = state
-        r2 = flood_round_pallas(r, m8, interpret=interpret)
-        return r2, jnp.any(r2 != r), it + 1
-
-    r1 = flood_round_pallas(r0, m8, interpret=interpret)
-    r, _, _ = jax.lax.while_loop(cond, body, (r1, jnp.bool_(True), 1))
-    return r.astype(bool)
+    lab, _, _ = jax.lax.while_loop(cond, body,
+                                   (round_(lab0), jnp.bool_(True), 1))
+    return lab[:, :h, :w]

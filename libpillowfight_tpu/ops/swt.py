@@ -63,13 +63,6 @@ _VECS = (
     (0, 1), (1, 2), (1, 1), (2, 1),
     (1, 0), (2, -1), (1, -1), (1, -2),
     (0, -1), (-1, -2), (-1, -1), (-2, -1),
-    (-1, 0), (-2, 1), (1, -1 + 2), (-1, 2),
-)
-# fix two entries (typo-proof, computed): classes 14/15 are (-2,1),(-1,2)
-_VECS = (
-    (0, 1), (1, 2), (1, 1), (2, 1),
-    (1, 0), (2, -1), (1, -1), (1, -2),
-    (0, -1), (-1, -2), (-1, -1), (-2, -1),
     (-1, 0), (-2, 1), (-1, 1), (-1, 2),
 )
 _NDIR = len(_VECS)
@@ -220,11 +213,15 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
     for k in range(_NDIR):
         t_units = max(int(np.ceil(max_len / _NORMS[k])), 1)
         dist, units, hit_cls = _first_edge_along(edge_cls, k, t_units)
-        ok = opposing(hit_cls, k) & (dist < _INF) & (units <= t_units)
+        hit_valid = (dist < _INF) & (units <= t_units)
         for s in (-1, 1):
             # an edge of gradient class c casts along class c (sign +1)
-            # or c+8 (sign -1)
+            # or c+8 (sign -1). The Epshtein condition compares the HIT
+            # gradient against the ANCHOR's gradient class `src` (must be
+            # ~anti-parallel), not against the travel class k — for
+            # sign=-1 those differ by 8 classes (ref: swt.c ray loop).
             src = (k - (_NDIR // 2 if s == -1 else 0)) % _NDIR
+            ok = opposing(hit_cls, src) & hit_valid
             is_anchor = (edge_cls == src) & ok
             width = jnp.where(is_anchor, jnp.maximum(dist, 1.0), _INF)
             un = jnp.where(is_anchor, units, 0)
@@ -290,12 +287,19 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
 # --------------------------------------------------------------------------
 
 def _letter_mask_one(gray, swt, sign, max_letters, max_valid):
-    """Filter SWT components down to letter candidates. bool [H,W].
+    """Filter SWT components down to letter candidates.
 
-    Polarity consistency gate: the dark-on-light pass only keeps pixels
-    darker than the page median (strokes are dark), the light-on-dark
-    pass only pixels lighter — this rejects the page-spanning pseudo
-    strokes that inter-letter gaps / blank pages produce.
+    Returns (mask bool [H,W], boxes int32 [max_letters, 4] as
+    (y0, y1, x0, x1), boxes_ok bool [max_letters]) — the boxes are the
+    accepted letter components' bounding boxes (ref: swt.c renders one
+    box per accepted letter in PF_SWT_OUTPUT_ORIGINAL_BOXES mode; the
+    C++ oracle pf_oracle_swt draws the same set).
+
+    Polarity consistency gate (shared spec extension with the oracle):
+    the dark-on-light pass only keeps pixels darker than the page median
+    (strokes are dark), the light-on-dark pass only pixels lighter —
+    this rejects the page-spanning pseudo strokes that inter-letter
+    gaps / blank pages produce.
     """
     h, w = swt.shape
     med = jnp.median(gray)
@@ -379,27 +383,36 @@ def _letter_mask_one(gray, swt, sign, max_letters, max_valid):
     ].set(True)
     ok = ok & ~reject_mask
 
-    return valid & ok[labels]
+    boxes = jnp.stack([ry0, ry1, rx0, rx1], axis=-1).astype(jnp.int32)
+    boxes_ok = r_ok & (nested <= C.SWT_MAX_NESTED_LETTERS)
+    return valid & ok[labels], boxes, boxes_ok
 
 
 # --------------------------------------------------------------------------
 # public op
 # --------------------------------------------------------------------------
 
-def _draw_boxes(pages_rgb, letter, labels_slots=None):
-    """Draw red bounding boxes of letter components onto uint8 RGB [H,W,3]."""
-    h, w = letter.shape
+def _draw_boxes(pages_rgb, boxes, boxes_ok):
+    """Draw red per-letter bounding boxes onto uint8 RGB [H,W,3].
+
+    boxes int32 [N,4] = (y0, y1, x0, x1); boxes_ok bool [N]. One cheap
+    fori_loop iteration per candidate slot (pure VPU compares, no
+    materialized [N,H,W] tensor). Ref: swt.c PF_SWT_OUTPUT_ORIGINAL_BOXES.
+    """
+    h, w, _ = pages_rgb.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    any_letter = letter.any()
-    y0 = jnp.min(jnp.where(letter, ys, h))
-    y1 = jnp.max(jnp.where(letter, ys, -1))
-    x0 = jnp.min(jnp.where(letter, xs, w))
-    x1 = jnp.max(jnp.where(letter, xs, -1))
-    on_box = (
-        (((ys == y0) | (ys == y1)) & (xs >= x0) & (xs <= x1))
-        | (((xs == x0) | (xs == x1)) & (ys >= y0) & (ys <= y1))
-    ) & any_letter
+
+    def body(i, on):
+        y0, y1, x0, x1 = boxes[i, 0], boxes[i, 1], boxes[i, 2], boxes[i, 3]
+        per = (
+            (((ys == y0) | (ys == y1)) & (xs >= x0) & (xs <= x1))
+            | (((xs == x0) | (xs == x1)) & (ys >= y0) & (ys <= y1))
+        )
+        return on | (per & boxes_ok[i])
+
+    on_box = jax.lax.fori_loop(
+        0, boxes.shape[0], body, jnp.zeros((h, w), bool))
     red = jnp.stack(
         [jnp.full((h, w), 255, jnp.uint8), jnp.zeros((h, w), jnp.uint8),
          jnp.zeros((h, w), jnp.uint8)], axis=-1)
@@ -412,10 +425,11 @@ def _swt_one(page, output_type, max_rays, max_len, max_letters, max_valid):
     edges = canny_edge_mask(gray[None])[0]
 
     swt_minus, swt_plus = _swt_maps_one(gray, edges, max_rays, max_len)
-    letter = (
-        _letter_mask_one(gray, swt_minus, -1, max_letters, max_valid)
-        | _letter_mask_one(gray, swt_plus, 1, max_letters, max_valid)
-    )
+    m_minus, bx_minus, bok_minus = _letter_mask_one(
+        gray, swt_minus, -1, max_letters, max_valid)
+    m_plus, bx_plus, bok_plus = _letter_mask_one(
+        gray, swt_plus, 1, max_letters, max_valid)
+    letter = m_minus | m_plus
 
     h, w = gray.shape
     alpha = page[..., 3:]
@@ -427,7 +441,11 @@ def _swt_one(page, output_type, max_rays, max_len, max_letters, max_valid):
         v = jnp.where(letter, g, jnp.uint8(C.PF_WHITE))
         rgb = jnp.stack([v, v, v], axis=-1)
     elif output_type == C.SWT_OUTPUT_ORIGINAL_BOXES:
-        rgb = _draw_boxes(page[..., :3], letter)
+        rgb = _draw_boxes(
+            page[..., :3],
+            jnp.concatenate([bx_minus, bx_plus], axis=0),
+            jnp.concatenate([bok_minus, bok_plus], axis=0),
+        )
     else:
         raise ValueError(f"unknown swt output_type {output_type}")
     return jnp.concatenate([rgb, alpha], axis=-1)

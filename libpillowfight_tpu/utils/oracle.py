@@ -44,6 +44,8 @@ def _load():
                  "grayfilter", "border", "masks"):
         getattr(_lib, f"pf_oracle_{name}").argtypes = [
             u8p, u8p, ctypes.c_int, ctypes.c_int]
+    _lib.pf_oracle_swt.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int]
     _lib.pf_oracle_ace_samples.argtypes = [
         u8p, u8p, ctypes.c_int, ctypes.c_int, i32p, i32p, ctypes.c_int,
         ctypes.c_double, ctypes.c_double]
@@ -99,6 +101,10 @@ def border(page):
 
 def masks(page):
     return _run("masks", page)
+
+
+def swt(page, output_type=0):
+    return _run("swt", page, output_type)
 
 
 def ace_samples(page, sy, sx, slope=10.0, limit=1000.0):

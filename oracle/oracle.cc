@@ -518,6 +518,240 @@ void pf_oracle_masks(const uint8_t* in, uint8_t* out, int h, int w) {
 
 }  // extern "C"
 
+// ------------------------------------------------------------------ swt
+// Stroke Width Transform oracle (Epshtein et al. CVPR'08 / CCV DetectText;
+// ref: src/pillowfight/swt.c per SURVEY.md §2.2/§3.3 — upstream source is
+// absent, so this clean-room implementation of the documented spec IS the
+// parity authority). Continuous ray casting from every canny edge pixel
+// along ±gradient, first-edge termination with the ±pi/6 opposing-gradient
+// test, per-ray median clamp, connected components over stroke-width ratio
+// <= 3, letter-geometry filters, nested-box rejection, two polarity passes.
+//
+// Spec extension shared with the TPU kernel (ops/swt.py): a polarity
+// consistency gate — the dark-on-light pass keeps only pixels darker than
+// the page median and vice versa — rejects page-spanning pseudo strokes
+// (inter-letter gaps on blank margins). Both sides implement it
+// identically so golden parity is well-defined.
+
+namespace {
+
+constexpr double kSwtInf = 1e30;
+
+struct SwtBox {
+  int y0, y1, x0, x1;
+};
+
+struct SwtPass {
+  std::vector<uint8_t> letter;  // h*w: accepted letter pixels
+  std::vector<SwtBox> boxes;    // accepted letter bounding boxes
+};
+
+void swt_polarity(const Mat& gray, const std::vector<uint8_t>& edge,
+                  const Mat& ux, const Mat& uy, double gray_median, int sign,
+                  int h, int w, SwtPass& out) {
+  out.letter.assign((size_t)h * w, 0);
+  out.boxes.clear();
+  const double ctol = std::cos(PFT_SWT_RAY_ANGLE_TOLERANCE);
+
+  // ---- pass 1: ray casting, per-pixel min stroke width
+  std::vector<double> swt((size_t)h * w, kSwtInf);
+  std::vector<std::vector<int>> rays;
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      if (!edge[(size_t)y * w + x]) continue;
+      double dy = sign * uy.at(y, x), dx = sign * ux.at(y, x);
+      std::vector<int> ray;
+      ray.push_back(y * w + x);
+      double fy = y + 0.5, fx = x + 0.5;
+      int py = y, px = x;
+      bool valid = false;
+      for (int t = 0; t < 4 * PFT_SWT_MAX_RAY_LEN; t++) {
+        fy += 0.5 * dy;  // half steps so diagonal rays skip no cell
+        fx += 0.5 * dx;
+        int cy = (int)std::floor(fy), cx = (int)std::floor(fx);
+        if (cy == py && cx == px) continue;
+        if (cy < 0 || cy >= h || cx < 0 || cx >= w) break;
+        py = cy;
+        px = cx;
+        if (std::hypot((double)(cy - y), (double)(cx - x)) >
+            PFT_SWT_MAX_RAY_LEN)
+          break;
+        if (edge[(size_t)cy * w + cx]) {
+          // Epshtein condition: hit gradient ~anti-parallel to the
+          // anchor's gradient (within pi/6); first edge ends the ray
+          // either way.
+          double dot = ux.at(y, x) * ux.at(cy, cx) + uy.at(y, x) * uy.at(cy, cx);
+          valid = dot <= -ctol;
+          break;
+        }
+        ray.push_back(cy * w + cx);
+      }
+      if (!valid) continue;
+      ray.push_back(py * w + px);  // the hit pixel belongs to the stroke
+      double width = std::max(std::hypot((double)(py - y), (double)(px - x)), 1.0);
+      for (int i : ray) swt[i] = std::min(swt[i], width);
+      rays.push_back(std::move(ray));
+    }
+
+  // ---- pass 2: per-ray median clamp (ref: swt.c qsort median)
+  for (const auto& ray : rays) {
+    std::vector<double> vals;
+    vals.reserve(ray.size());
+    for (int i : ray) vals.push_back(swt[i]);
+    std::sort(vals.begin(), vals.end());
+    double med = vals[vals.size() / 2];
+    for (int i : ray) swt[i] = std::min(swt[i], med);
+  }
+
+  // ---- polarity consistency gate (spec extension, see header comment)
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      bool pol_ok = sign < 0 ? gray.at(y, x) < gray_median
+                             : gray.at(y, x) > gray_median;
+      if (!pol_ok) swt[(size_t)y * w + x] = kSwtInf;
+    }
+
+  // ---- connected components over similar stroke widths (8-conn,
+  // max/min ratio <= SWT_CC_SW_RATIO), BFS
+  std::vector<int> lab((size_t)h * w, -1);
+  int nlab = 0;
+  std::deque<int> q;
+  for (int s = 0; s < h * w; s++) {
+    if (swt[s] >= kSwtInf || lab[s] >= 0) continue;
+    int id = nlab++;
+    lab[s] = id;
+    q.push_back(s);
+    while (!q.empty()) {
+      int i = q.front();
+      q.pop_front();
+      int y = i / w, x = i % w;
+      for (int dy = -1; dy <= 1; dy++)
+        for (int dx = -1; dx <= 1; dx++) {
+          if (dy == 0 && dx == 0) continue;
+          int ny = y + dy, nx = x + dx;
+          if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+          int j = ny * w + nx;
+          if (swt[j] >= kSwtInf || lab[j] >= 0) continue;
+          double a = swt[i], b = swt[j];
+          if (std::max(a, b) / std::max(std::min(a, b), 1e-6) >
+              PFT_SWT_CC_SW_RATIO)
+            continue;
+          lab[j] = id;
+          q.push_back(j);
+        }
+    }
+  }
+
+  // ---- per-component statistics + letter filters
+  std::vector<double> cnt(nlab, 0), s1(nlab, 0), s2(nlab, 0);
+  std::vector<int> ymin(nlab, h), ymax(nlab, 0), xmin(nlab, w), xmax(nlab, 0);
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      int l = lab[(size_t)y * w + x];
+      if (l < 0) continue;
+      double v = swt[(size_t)y * w + x];
+      cnt[l] += 1;
+      s1[l] += v;
+      s2[l] += v * v;
+      ymin[l] = std::min(ymin[l], y);
+      ymax[l] = std::max(ymax[l], y);
+      xmin[l] = std::min(xmin[l], x);
+      xmax[l] = std::max(xmax[l], x);
+    }
+  std::vector<uint8_t> acc(nlab, 0);
+  for (int l = 0; l < nlab; l++) {
+    double n = std::max(cnt[l], 1.0);
+    double mean = s1[l] / n;
+    double var = std::max(s2[l] / n - mean * mean, 0.0);
+    double bw = xmax[l] - xmin[l] + 1, bh = ymax[l] - ymin[l] + 1;
+    double diag = std::hypot(bw, bh);
+    double aspect = std::max(bw, bh) / std::max(std::min(bw, bh), 1.0);
+    acc[l] = cnt[l] >= PFT_SWT_LETTER_MIN_PIXELS &&
+             var <= PFT_SWT_LETTER_VARIANCE_RATIO * mean * mean &&
+             aspect <= PFT_SWT_LETTER_ASPECT_RATIO_MAX &&
+             diag < PFT_SWT_LETTER_DIAMETER_SW_RATIO * std::max(mean, 1e-6) &&
+             bh >= PFT_SWT_LETTER_HEIGHT_MIN && bh <= PFT_SWT_LETTER_HEIGHT_MAX;
+  }
+
+  // ---- nested-box rejection: an accepted box containing more than
+  // SWT_MAX_NESTED_LETTERS other accepted boxes is a frame, not a letter
+  std::vector<int> accepted;
+  for (int l = 0; l < nlab; l++)
+    if (acc[l]) accepted.push_back(l);
+  std::vector<uint8_t> reject(nlab, 0);
+  for (int a : accepted) {
+    int nested = 0;
+    for (int b : accepted) {
+      if (a == b) continue;
+      if (ymin[a] <= ymin[b] && ymax[a] >= ymax[b] && xmin[a] <= xmin[b] &&
+          xmax[a] >= xmax[b])
+        nested++;
+    }
+    if (nested > PFT_SWT_MAX_NESTED_LETTERS) reject[a] = 1;
+  }
+  for (int l = 0; l < nlab; l++)
+    if (acc[l] && !reject[l])
+      out.boxes.push_back({ymin[l], ymax[l], xmin[l], xmax[l]});
+  for (int i = 0; i < h * w; i++) {
+    int l = lab[i];
+    if (l >= 0 && acc[l] && !reject[l]) out.letter[i] = 1;
+  }
+}
+
+}  // namespace
+
+extern "C" void pf_oracle_swt(const uint8_t* in, uint8_t* out, int h, int w,
+                              int output_type) {
+  Mat gray = gray_of(in, h, w);
+  auto edge = canny_edges(gray);
+  Mat sm = gaussian_on_matrix(gray, PFT_CANNY_GAUSSIAN_SIGMA,
+                              PFT_CANNY_GAUSSIAN_NB_STDDEV);
+  Grad gr = sobel_on_matrix(sm);
+  Mat ux(h, w), uy(h, w);
+  for (size_t i = 0; i < gr.direction.v.size(); i++) {
+    ux.v[i] = std::cos(gr.direction.v[i]);
+    uy.v[i] = std::sin(gr.direction.v[i]);
+  }
+  std::vector<double> sorted(gray.v);
+  std::sort(sorted.begin(), sorted.end());
+  size_t n = sorted.size();
+  double med = n % 2 ? sorted[n / 2] : 0.5 * (sorted[n / 2 - 1] + sorted[n / 2]);
+
+  SwtPass minus, plus;
+  swt_polarity(gray, edge, ux, uy, med, -1, h, w, minus);
+  swt_polarity(gray, edge, ux, uy, med, +1, h, w, plus);
+
+  if (output_type == PFT_SWT_OUTPUT_ORIGINAL_BOXES) {
+    std::memcpy(out, in, (size_t)h * w * 4);
+    auto draw = [&](const SwtBox& b) {
+      for (int x = b.x0; x <= b.x1; x++) {
+        uint8_t *t = out + 4 * ((size_t)b.y0 * w + x),
+                *u = out + 4 * ((size_t)b.y1 * w + x);
+        t[0] = 255; t[1] = 0; t[2] = 0;
+        u[0] = 255; u[1] = 0; u[2] = 0;
+      }
+      for (int y = b.y0; y <= b.y1; y++) {
+        uint8_t *t = out + 4 * ((size_t)y * w + b.x0),
+                *u = out + 4 * ((size_t)y * w + b.x1);
+        t[0] = 255; t[1] = 0; t[2] = 0;
+        u[0] = 255; u[1] = 0; u[2] = 0;
+      }
+    };
+    for (const auto& b : minus.boxes) draw(b);
+    for (const auto& b : plus.boxes) draw(b);
+    return;
+  }
+  for (int i = 0; i < h * w; i++) {
+    bool letter = minus.letter[i] || plus.letter[i];
+    uint8_t v = letter ? (output_type == PFT_SWT_OUTPUT_GRAYSCALE_TEXT
+                              ? clamp_u8(gray.v[i])
+                              : PFT_PF_BLACK)
+                       : PFT_PF_WHITE;
+    out[4 * i] = out[4 * i + 1] = out[4 * i + 2] = v;
+    out[4 * i + 3] = in[4 * i + 3];
+  }
+}
+
 // ================================================================= CLI
 #ifndef PF_ORACLE_NO_MAIN
 #include <chrono>

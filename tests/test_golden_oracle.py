@@ -88,6 +88,53 @@ def _iou_wiped(a_in, a_out, b_out):
     return (wa & wb).sum() / union
 
 
+def _text_page(h=96, w=128):
+    """Bar-'letters' of consistent stroke width on white + gray shading."""
+    g = np.full((h, w), 255, np.uint8)
+    for x0 in (20, 40, 60, 80):
+        g[25:75, x0 : x0 + 6] = 0  # vertical strokes, width 6, height 50
+    g[80:92, 8:40] = 210  # light shading the letter filters must ignore
+    return np.stack([g, g, g, np.full_like(g, 255)], axis=-1)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_swt_vs_oracle(mode):
+    """SWT letter masks pinned against pf_oracle_swt (ref: swt.c, the
+    reference's largest kernel — SURVEY.md §2.2) for all 3 output modes."""
+    from libpillowfight_tpu.ops.swt import swt
+
+    page = _text_page()
+    want = oracle.swt(page, mode)
+    got = np.asarray(swt(jnp.asarray(page), mode))
+    if mode == 2:
+        # per-letter red boxes: 1-px localization tolerance both ways plus
+        # a <=2% stray allowance (quantized digital rays can grow a
+        # component's bbox by one pixel vs the oracle's continuous rays)
+        import scipy.ndimage
+
+        wr = (want[..., 0] == 255) & (want[..., 1] == 0) & (want[..., 2] == 0)
+        gr = (got[..., 0] == 255) & (got[..., 1] == 0) & (got[..., 2] == 0)
+        assert wr.sum() > 0 and gr.sum() > 0
+        dil = np.ones((3, 3), bool)
+        stray_got = (gr & ~scipy.ndimage.binary_dilation(wr, dil)).sum()
+        stray_want = (wr & ~scipy.ndimage.binary_dilation(gr, dil)).sum()
+        assert stray_got <= 0.02 * gr.sum(), (stray_got, gr.sum())
+        assert stray_want <= 0.02 * wr.sum(), (stray_want, wr.sum())
+    else:
+        wm = (want[..., :3] != 255).any(-1)
+        gm = (got[..., :3] != 255).any(-1)
+        union = (wm | gm).sum()
+        iou = (wm & gm).sum() / max(union, 1)
+        assert wm.sum() > 0, "oracle found no text on the text page"
+        assert iou >= 0.99, f"swt mode {mode} letter-mask IoU {iou:.4f}"
+        if mode == 1:
+            # gray values must agree exactly where both sides agree the
+            # pixel is a letter (disagreement pixels are covered by IoU)
+            both = wm & gm
+            d = np.abs(got[..., :3].astype(int) - want[..., :3].astype(int))
+            assert d[both].max() <= 1
+
+
 @pytest.mark.parametrize("name,tpu_fn", [
     ("blackfilter", unpaper.unpaper_blackfilter),
     ("noisefilter", unpaper.unpaper_noisefilter),

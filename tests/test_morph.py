@@ -127,6 +127,19 @@ def test_small_cluster_mask_matches_scipy(rng):
             np.testing.assert_array_equal(got, want, err_msg=f"k={k} t={trial}")
 
 
+def test_small_cluster_mask_large_k(rng):
+    """k >= 15 exercises multi-word bitboard shifts (shift amounts 2k+2
+    exceed one 32-bit word; regression test for the single-word-carry
+    _bit_shift)."""
+    mask = rng.random((48, 64)) < 0.12
+    labels, n = scipy.ndimage.label(mask, structure=STRUCT8)
+    sizes = np.bincount(labels.ravel(), minlength=n + 1)
+    for k in (15, 16, 20):
+        got = np.asarray(morph.small_cluster_mask(jnp.asarray(mask)[None], k)[0])
+        want = mask & (sizes[labels] <= k)
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
+
+
 def test_small_cluster_mask_exact_boundary():
     """Clusters of exactly k and k+1 pixels straddle the threshold."""
     mask = np.zeros((16, 32), bool)

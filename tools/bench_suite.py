@@ -1,12 +1,12 @@
 """Full benchmark suite: one entry per BASELINE.md config.
 
 Writes ``BENCH_DETAIL.json`` (list of records) and prints each record as
-it completes. Timing protocol: inputs for every iteration are distinct
-device-resident batches chained by a zero-valued data dependency on the
-previous output, so iterations execute sequentially and no iteration can
-be skipped, but every iteration still processes a *fresh* (dirty) page —
-unlike output-feeds-input chaining, which would hand later iterations an
-already-clean page and overstate throughput on the flood-fill filters.
+it completes. Timing protocol: every iteration consumes a *fresh* (dirty)
+device-resident batch — unlike output-feeds-input chaining, which would
+hand later iterations an already-clean page and overstate throughput on
+the flood-fill filters — and each iteration ends with a blocking scalar
+fetch from its output, so iteration i+1 is not dispatched until i has
+fully executed (no pipelining across timed iterations).
 
 Usage: python tools/bench_suite.py [--quick] [--configs 1,2,3]
 """
@@ -26,13 +26,52 @@ import numpy as np
 A4 = (3508, 2480)       # 300dpi A4, ~8.7 MP
 A4_600 = (7016, 4960)   # 600dpi A4, ~34.8 MP
 
+# Speed-of-light traffic model: every filter must at minimum read the
+# uint8 RGBA page (4 B/px) and write the result (4 B/px). A perfectly
+# fused chain touches the same 8 B/px regardless of stage count; the
+# stagewise model charges 8 B/px per stage (each stage reads + writes
+# HBM once — what XLA actually does when flood fixed-points prevent
+# cross-stage fusion).
+SOL_BYTES_PER_PX = 8.0
+
+
+def _peak_hbm_bw():
+    """Per-chip peak HBM bandwidth for the attached device (bytes/s)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = (  # public spec sheets; device_kind strings like "TPU v5 lite"
+        ("v6e", 1640e9), ("v6 lite", 1640e9), ("v5p", 2765e9),
+        ("v5e", 819e9), ("v5 lite", 819e9), ("v4", 1228e9),
+        ("v3", 900e9), ("v2", 700e9),
+    )
+    for key, bw in table:
+        if key in kind:
+            return bw, kind
+    return 819e9, kind  # conservative default (v5e)
+
+
+def _roofline_fields(rec, dt, n_px, n_stages=1):
+    """Attach achieved-bandwidth + %-of-roofline columns to a record."""
+    peak, kind = _peak_hbm_bw()
+    sol_bytes = SOL_BYTES_PER_PX * n_px
+    achieved = sol_bytes / dt          # useful bytes moved per second
+    rec["device_kind"] = kind
+    rec["peak_hbm_gb_s"] = peak / 1e9
+    rec["sol_bytes_per_px"] = SOL_BYTES_PER_PX
+    rec["achieved_useful_gb_s"] = achieved / 1e9
+    rec["roofline_pct_fused_sol"] = 100.0 * achieved / peak
+    if n_stages > 1:
+        rec["n_stages"] = n_stages
+        rec["roofline_pct_stagewise"] = 100.0 * achieved * n_stages / peak
+    return rec
+
 
 def _timed(fn, batches, iters):
     """Median seconds/iteration; each iteration consumes a fresh batch."""
     import jax
     import jax.numpy as jnp
 
-    outs = []
     # warm-up (compile) on the first batch
     o = fn(batches[0])
     leaf = jax.tree_util.tree_leaves(o)[0]
@@ -43,10 +82,10 @@ def _timed(fn, batches, iters):
         t0 = time.perf_counter()
         o = fn(x)
         leaf = jax.tree_util.tree_leaves(o)[0]
-        # scalar fetch forces full execution through the axon tunnel
+        # blocking scalar fetch forces full execution before the next
+        # iteration dispatches (and pulls through the axon tunnel)
         _ = float(jnp.sum(leaf[(0,) * leaf.ndim].astype(jnp.float32)))
         times.append(time.perf_counter() - t0)
-        outs.append(o)
     return float(np.median(times))
 
 
@@ -80,8 +119,10 @@ def run_config(idx, quick):
         xs = _device_batches(1, h, w)
         dt = _timed(jax.jit(sobel), xs, 3)
         mp = h * w / 1e6
-        return {"config": "sobel_1page_300dpi", "mp_per_s_chip": mp / dt,
-                "ms_per_page": dt * 1e3, "pages": 1, "page_mp": mp}
+        return _roofline_fields(
+            {"config": "sobel_1page_300dpi", "mp_per_s_chip": mp / dt,
+             "ms_per_page": dt * 1e3, "pages": 1, "page_mp": mp},
+            dt, h * w)
 
     if idx == 2:  # Gaussian + full Canny, 64-page batch
         b = 8 if quick else 64
@@ -89,8 +130,10 @@ def run_config(idx, quick):
         fn = jax.jit(lambda p: canny(p))
         dt = _timed(fn, xs, 3)
         mp = b * h * w / 1e6
-        return {"config": "canny_batch64", "mp_per_s_chip": mp / dt,
-                "pages_per_s": b / dt, "pages": b, "page_mp": h * w / 1e6}
+        return _roofline_fields(
+            {"config": "canny_batch64", "mp_per_s_chip": mp / dt,
+             "pages_per_s": b / dt, "pages": b, "page_mp": h * w / 1e6},
+            dt, b * h * w)
 
     if idx == 3:  # unpaper chain, 256 pages (chunked)
         b = 8 if quick else 16
@@ -100,9 +143,11 @@ def run_config(idx, quick):
         dt = _timed(fn, xs, chunks)
         pages = b
         mp = pages * h * w / 1e6
-        return {"config": "unpaper_chain_256pages", "mp_per_s_chip": mp / dt,
-                "pages_per_s": pages / dt, "pages_total": b * chunks,
-                "page_mp": h * w / 1e6}
+        return _roofline_fields(
+            {"config": "unpaper_chain_256pages", "mp_per_s_chip": mp / dt,
+             "pages_per_s": pages / dt, "pages_total": b * chunks,
+             "page_mp": h * w / 1e6},
+            dt, b * h * w, n_stages=6)
 
     if idx == 4:  # ACE on 600dpi color scans
         hh, ww = (A4_600[0] // 2, A4_600[1] // 2) if quick else A4_600
@@ -110,8 +155,10 @@ def run_config(idx, quick):
         fn = jax.jit(lambda p: ace(p))
         dt = _timed(fn, xs, 3)
         mp = hh * ww / 1e6
-        return {"config": "ace_600dpi", "mp_per_s_chip": mp / dt,
-                "ms_per_page": dt * 1e3, "page_mp": mp}
+        return _roofline_fields(
+            {"config": "ace_600dpi", "mp_per_s_chip": mp / dt,
+             "ms_per_page": dt * 1e3, "page_mp": mp},
+            dt, hh * ww)
 
     if idx == 5:  # SWT + full cleanup (single-chip slice of config 5)
         b = 1
@@ -121,10 +168,43 @@ def run_config(idx, quick):
         xs = _device_batches(b, hh, ww)
         dt = _timed(fn, xs, 2)
         mp = b * hh * ww / 1e6
-        return {"config": "swt_plus_cleanup", "mp_per_s_chip": mp / dt,
-                "pages_per_s": b / dt,
-                "pages_per_s_per_chip_extrapolated_10k": b / dt,
-                "page_mp": hh * ww / 1e6}
+        return _roofline_fields(
+            {"config": "swt_plus_cleanup", "mp_per_s_chip": mp / dt,
+             "pages_per_s": b / dt,
+             "pages_per_s_per_chip_extrapolated_10k": b / dt,
+             "page_mp": hh * ww / 1e6},
+            dt, b * hh * ww, n_stages=7)
+
+    if idx == 6:  # per-kernel microbench: every filter alone, same batch
+        from libpillowfight_tpu.ops import gaussian, unpaper
+
+        b = 2 if quick else 8
+        xs = _device_batches(b, h, w)
+        n_px = b * h * w
+        mp = n_px / 1e6
+        kernels = {
+            "gaussian": jax.jit(lambda p: gaussian(p)),
+            "sobel": jax.jit(sobel),
+            "canny": jax.jit(lambda p: canny(p)),
+            "ace": jax.jit(lambda p: ace(p)),
+            "unpaper_blackfilter": jax.jit(unpaper.unpaper_blackfilter),
+            "unpaper_noisefilter": jax.jit(unpaper.unpaper_noisefilter),
+            "unpaper_blurfilter": jax.jit(unpaper.unpaper_blurfilter),
+            "unpaper_grayfilter": jax.jit(unpaper.unpaper_grayfilter),
+            "unpaper_border": jax.jit(unpaper.unpaper_border),
+            "unpaper_masks": jax.jit(unpaper.unpaper_masks),
+        }
+        per = {}
+        for name, fn in kernels.items():
+            dt = _timed(fn, xs, 3)
+            per[name] = _roofline_fields(
+                {"mp_per_s_chip": mp / dt, "ms_per_batch": dt * 1e3},
+                dt, n_px)
+            print(f"  {name}: {mp/dt:.0f} MP/s "
+                  f"({per[name]['roofline_pct_fused_sol']:.1f}% roofline)",
+                  flush=True)
+        return {"config": "per_kernel_microbench", "pages": b,
+                "page_mp": h * w / 1e6, "kernels": per}
 
     raise ValueError(idx)
 
@@ -132,7 +212,7 @@ def run_config(idx, quick):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--configs", type=str, default="1,2,3,4,5")
+    ap.add_argument("--configs", type=str, default="1,2,3,4,5,6")
     ap.add_argument("--out", type=str, default="BENCH_DETAIL.json")
     args = ap.parse_args()
 
