@@ -99,7 +99,10 @@ UNPAPER_WHITE_THRESHOLD = 0.9    # pixel is "non-white" if gray < 0.9 * 255
 BLACKFILTER_SCAN_SIZE = 20
 BLACKFILTER_SCAN_STEP = 5
 BLACKFILTER_SCAN_THRESHOLD = 0.95   # square "blackness" ratio to trigger fill
-BLACKFILTER_INTENSITY = 20          # abs darkness tolerance during flood fill
+BLACKFILTER_INTENSITY = 20          # flood gap-leap radius (px): dark pixels
+                                    # within this Chebyshev distance are
+                                    # connected (unpaper --blackfilter-intensity
+                                    # "larger values will leap larger gaps")
 
 # noisefilter (ref: src/pillowfight/noisefilter.c; unpaper --noisefilter-*)
 NOISEFILTER_INTENSITY = 4   # clusters of <= 4 non-white pixels are erased

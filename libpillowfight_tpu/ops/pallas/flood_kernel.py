@@ -111,46 +111,59 @@ def _seg_or_doubling(r, m, axis, n):
     return r & m
 
 
-def _dilate8(r):
-    """3x3 OR via shifts (zero padded). int32 0/1."""
-    h = r | _roll_fwd(r, 1, 1) | _roll_bwd(r, 1, 1)
-    return h | _shift_down(h, 1) | _shift_up(h, 1)
+def _dilate_cheb(r, k):
+    """Chebyshev-ball OR-dilation of radius k via separable doubling
+    (zero padded). int32 0/1. k=1 is the plain 3x3 dilation; the union
+    of [-c..c] with its +/-s shifts covers [-(c+s)..c+s], so each axis
+    needs O(log k) static shifts."""
+    for axis_shift in ((lambda x, s: _roll_fwd(x, s, 1),
+                        lambda x, s: _roll_bwd(x, s, 1)),
+                       (_shift_down, _shift_up)):
+        fwd, bwd = axis_shift
+        c = 0
+        while c < k:
+            s = min(c + 1, k - c)
+            r = r | fwd(r, s) | bwd(r, s)
+            c += s
+    return r
 
 
 def _flood_sweep_kernel(mp_ref, mc_ref, mn_ref, rp_ref, rc_ref, rn_ref,
                         out_ref, carry_ref, *, tile_h, width, n_tiles,
-                        inner_rounds, down):
+                        inner_rounds, down, leap):
     i = pl.program_id(1)
     j = i if down else n_tiles - 1 - i  # actual band index
-    zero_row = jnp.zeros((1, width), jnp.int32)
+    hr = leap  # halo rows: the dilation reaches `leap` rows across bands
+    zero_rows = jnp.zeros((hr, width), jnp.int32)
 
     def band(prev, cur, nxt):
-        top = jnp.where(j == 0, zero_row,
-                        prev[0, tile_h - 1 :, :].astype(jnp.int32))
-        bot = jnp.where(j == n_tiles - 1, zero_row,
-                        nxt[0, :1, :].astype(jnp.int32))
+        top = jnp.where(j == 0, zero_rows,
+                        prev[0, tile_h - hr :, :].astype(jnp.int32))
+        bot = jnp.where(j == n_tiles - 1, zero_rows,
+                        nxt[0, :hr, :].astype(jnp.int32))
         mid = cur[0].astype(jnp.int32)
-        return jnp.concatenate([top, mid, bot], axis=0)  # [tile_h+2, W]
+        return jnp.concatenate([top, mid, bot], axis=0)  # [tile_h+2hr, W]
 
     m = band(mp_ref, mc_ref, mn_ref)
     r = band(rp_ref, rc_ref, rn_ref) & m
 
-    # fresh halo row carried from the band processed just before this one
+    # fresh halo rows carried from the band processed just before this one
     carry = carry_ref[...].astype(jnp.int32)
     if down:
-        fresh_top = jnp.where(j == 0, zero_row, carry) & m[:1]
-        r = jnp.concatenate([r[:1] | fresh_top, r[1:]], axis=0)
+        fresh_top = jnp.where(j == 0, zero_rows, carry) & m[:hr]
+        r = jnp.concatenate([r[:hr] | fresh_top, r[hr:]], axis=0)
     else:
-        fresh_bot = jnp.where(j == n_tiles - 1, zero_row, carry) & m[-1:]
-        r = jnp.concatenate([r[:-1], r[-1:] | fresh_bot], axis=0)
+        fresh_bot = jnp.where(j == n_tiles - 1, zero_rows, carry) & m[-hr:]
+        r = jnp.concatenate([r[:-hr], r[-hr:] | fresh_bot], axis=0)
 
     for _ in range(inner_rounds):
         r = _seg_or_doubling(r, m, 1, width)
-        r = _seg_or_doubling(r, m, 0, tile_h + 2)
-        r = _dilate8(r) & m
+        r = _seg_or_doubling(r, m, 0, tile_h + 2 * hr)
+        r = _dilate_cheb(r, leap) & m
 
-    out_ref[0] = r[1 : 1 + tile_h, :].astype(jnp.int8)
-    carry_ref[...] = r[tile_h : tile_h + 1, :] if down else r[1:2, :]
+    out_ref[0] = r[hr : hr + tile_h, :].astype(jnp.int8)
+    carry_ref[...] = (r[tile_h : tile_h + hr, :] if down
+                      else r[hr : 2 * hr, :])
 
 
 def _band_specs(n_tiles, tile_h, wp, down):
@@ -183,18 +196,20 @@ def _pad_bands(arrs, h, w, fills):
 
 
 @functools.partial(jax.jit, static_argnames=("inner_rounds", "interpret",
-                                             "down"))
+                                             "down", "leap"))
 def _flood_sweep(reach: jax.Array, mask: jax.Array, down: bool,
-                 inner_rounds: int = 1, interpret: bool = False) -> jax.Array:
+                 inner_rounds: int = 1, interpret: bool = False,
+                 leap: int = 1) -> jax.Array:
     """One sequential band sweep (top-down or bottom-up) of the flood
     round. reach/mask int8 [B, H, W] (0/1), already band-padded."""
     b, hp, wp = reach.shape
     tile_h = _tile_h(hp, wp)
     n_tiles = hp // tile_h
+    assert leap <= tile_h, f"leap {leap} exceeds band height {tile_h}"
 
     kernel = functools.partial(
         _flood_sweep_kernel, tile_h=tile_h, width=wp, n_tiles=n_tiles,
-        inner_rounds=inner_rounds, down=down,
+        inner_rounds=inner_rounds, down=down, leap=leap,
     )
     prev, cur, nxt = _band_specs(n_tiles, tile_h, wp, down)
     return pl.pallas_call(
@@ -203,7 +218,7 @@ def _flood_sweep(reach: jax.Array, mask: jax.Array, down: bool,
         in_specs=[prev, cur, nxt, prev, cur, nxt],
         out_specs=cur,
         out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((1, wp), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((leap, wp), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -211,9 +226,10 @@ def _flood_sweep(reach: jax.Array, mask: jax.Array, down: bool,
 
 
 def flood_reach_pallas(seeds: jax.Array, mask: jax.Array,
-                       max_iters: int = 256, interpret: bool = False
-                       ) -> jax.Array:
-    """Exact fixed-point flood (8-connectivity). seeds/mask bool [B,H,W]
+                       max_iters: int = 256, interpret: bool = False,
+                       leap: int = 1) -> jax.Array:
+    """Exact fixed-point flood (8-connectivity; mask pixels within
+    Chebyshev distance `leap` are connected). seeds/mask bool [B,H,W]
     -> bool [B,H,W]. Each round = one down + one up band sweep (2 HBM
     passes); rounds converge in O(snake turns), not O(page height)."""
     b, h, w = mask.shape
@@ -222,8 +238,8 @@ def flood_reach_pallas(seeds: jax.Array, mask: jax.Array,
     (m8, r0), hp, wp, _ = _pad_bands([m8, r0], h, w, [0, 0])
 
     def round_(r):
-        r = _flood_sweep(r, m8, down=True, interpret=interpret)
-        return _flood_sweep(r, m8, down=False, interpret=interpret)
+        r = _flood_sweep(r, m8, down=True, interpret=interpret, leap=leap)
+        return _flood_sweep(r, m8, down=False, interpret=interpret, leap=leap)
 
     def cond(state):
         _, changed, it = state

@@ -19,20 +19,32 @@ from ..morph import flood_reach
 from .common import block_sums, coverage_from_blocks, dark_mask, wipe_white
 
 
-def unpaper_blackfilter(
-    pages: jax.Array,
+def blackfilter_wipe(
+    gray: jax.Array,
     scan_size: int = C.BLACKFILTER_SCAN_SIZE,
     scan_step: int = C.BLACKFILTER_SCAN_STEP,
     scan_threshold: float = C.BLACKFILTER_SCAN_THRESHOLD,
     black_threshold: float = C.UNPAPER_BLACK_THRESHOLD,
+    intensity: int = C.BLACKFILTER_INTENSITY,
 ) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    gray = rgba_to_gray(pages)
+    """Wipe mask from a gray plane f32 [B,H,W] (decision core; the fused
+    pipeline threads gray through these so RGBA is touched once).
+
+    `intensity` is the flood's gap-leap radius (unpaper
+    --blackfilter-intensity: "larger values will leap larger gaps"):
+    dark pixels within Chebyshev distance `intensity` are connected, so
+    a black scan border broken by specks of white still floods end to
+    end; the gap pixels themselves are never wiped."""
     dark = dark_mask(gray, black_threshold)
 
     counts = block_sums(dark, scan_size, scan_step)
     triggered = counts >= (scan_threshold * scan_size * scan_size)
     seed_area = coverage_from_blocks(triggered, dark.shape, scan_size, scan_step)
 
-    filled = flood_reach(seed_area & dark, dark, connectivity=8)
-    return maybe_unbatch(wipe_white(pages, filled), unb)
+    return flood_reach(seed_area & dark, dark, connectivity=8, leap=intensity)
+
+
+def unpaper_blackfilter(pages: jax.Array, **kwargs) -> jax.Array:
+    pages, unb = ensure_batched(pages)
+    wipe = blackfilter_wipe(rgba_to_gray(pages), **kwargs)
+    return maybe_unbatch(wipe_white(pages, wipe), unb)

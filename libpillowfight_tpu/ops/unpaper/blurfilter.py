@@ -21,14 +21,13 @@ from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
 from .common import block_sums, coverage_from_blocks, nonwhite_mask, wipe_white
 
 
-def unpaper_blurfilter(
-    pages: jax.Array,
+def blurfilter_wipe(
+    gray: jax.Array,
     size: int = C.BLURFILTER_SIZE,
     step: int = C.BLURFILTER_STEP,
     intensity: float = C.BLURFILTER_INTENSITY,
 ) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    gray = rgba_to_gray(pages)
+    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
     mask = nonwhite_mask(gray)
 
     ratios = block_sums(mask, size, step) / float(size * size)
@@ -48,5 +47,10 @@ def unpaper_blurfilter(
     # a smudge block: contains few-but-some dark pixels, and every
     # surrounding block is also virtually clean
     lonely = (ratios > 0) & (ratios <= intensity) & (neighbor_max <= intensity)
-    wipe = coverage_from_blocks(lonely, gray.shape, size, step) & mask
+    return coverage_from_blocks(lonely, gray.shape, size, step) & mask
+
+
+def unpaper_blurfilter(pages: jax.Array, **kwargs) -> jax.Array:
+    pages, unb = ensure_batched(pages)
+    wipe = blurfilter_wipe(rgba_to_gray(pages), **kwargs)
     return maybe_unbatch(wipe_white(pages, wipe), unb)

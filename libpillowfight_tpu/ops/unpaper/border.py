@@ -42,14 +42,13 @@ def _border_extent(line_counts: jax.Array, extent: int, size: int, step: int,
     return first * step
 
 
-def unpaper_border(
-    pages: jax.Array,
+def border_wipe(
+    gray: jax.Array,
     scan_size: int = C.BORDER_SCAN_SIZE,
     scan_step: int = C.BORDER_SCAN_STEP,
     scan_threshold: float = C.BORDER_SCAN_THRESHOLD,
 ) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    gray = rgba_to_gray(pages)
+    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
     dark = dark_mask(gray)
     b, h, w = gray.shape
 
@@ -63,8 +62,13 @@ def unpaper_border(
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
-    wipe = (
+    return (
         (ys < top[:, None, None]) | (ys >= (h - bottom)[:, None, None])
         | (xs < left[:, None, None]) | (xs >= (w - right)[:, None, None])
     )
+
+
+def unpaper_border(pages: jax.Array, **kwargs) -> jax.Array:
+    pages, unb = ensure_batched(pages)
+    wipe = border_wipe(rgba_to_gray(pages), **kwargs)
     return maybe_unbatch(wipe_white(pages, wipe), unb)

@@ -18,18 +18,21 @@ from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
 from .common import block_sums, coverage_from_blocks, dark_mask, wipe_white
 
 
-def unpaper_grayfilter(
-    pages: jax.Array,
+def grayfilter_wipe(
+    gray: jax.Array,
     size: int = C.GRAYFILTER_SIZE,
     step: int = C.GRAYFILTER_STEP,
     threshold: float = C.GRAYFILTER_THRESHOLD,
 ) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    gray = rgba_to_gray(pages)
-
+    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
     dark_counts = block_sums(dark_mask(gray), size, step)
     mean_gray = block_sums(gray, size, step) / float(size * size)
     wipe_blocks = (dark_counts == 0) & (mean_gray > 255.0 * (1.0 - threshold))
 
-    wipe = coverage_from_blocks(wipe_blocks, gray.shape, size, step)
+    return coverage_from_blocks(wipe_blocks, gray.shape, size, step)
+
+
+def unpaper_grayfilter(pages: jax.Array, **kwargs) -> jax.Array:
+    pages, unb = ensure_batched(pages)
+    wipe = grayfilter_wipe(rgba_to_gray(pages), **kwargs)
     return maybe_unbatch(wipe_white(pages, wipe), unb)

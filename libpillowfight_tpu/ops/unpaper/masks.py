@@ -58,14 +58,13 @@ def _mask_edge(line_counts: jax.Array, perp_extent: int, center: int, size: int,
     return jnp.where(any_blank, edge, n)
 
 
-def unpaper_masks(
-    pages: jax.Array,
+def masks_wipe(
+    gray: jax.Array,
     scan_size: int = C.MASKS_SCAN_SIZE,
     scan_step: int = C.MASKS_SCAN_STEP,
     scan_threshold: float = C.MASKS_SCAN_THRESHOLD,
 ) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    gray = rgba_to_gray(pages)
+    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
     dark = dark_mask(gray)
     b, h, w = gray.shape
 
@@ -79,8 +78,13 @@ def unpaper_masks(
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
-    wipe = (
+    return (
         (xs < left[:, None, None]) | (xs >= right[:, None, None])
         | (ys < top[:, None, None]) | (ys >= bottom[:, None, None])
     )
+
+
+def unpaper_masks(pages: jax.Array, **kwargs) -> jax.Array:
+    pages, unb = ensure_batched(pages)
+    wipe = masks_wipe(rgba_to_gray(pages), **kwargs)
     return maybe_unbatch(wipe_white(pages, wipe), unb)

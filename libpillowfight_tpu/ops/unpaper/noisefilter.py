@@ -21,10 +21,15 @@ from ..morph import small_cluster_mask
 from .common import nonwhite_mask, wipe_white
 
 
-def unpaper_noisefilter(
-    pages: jax.Array, intensity: int = C.NOISEFILTER_INTENSITY
+def noisefilter_wipe(
+    gray: jax.Array, intensity: int = C.NOISEFILTER_INTENSITY
 ) -> jax.Array:
+    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
+    mask = nonwhite_mask(gray)
+    return small_cluster_mask(mask, intensity, connectivity=8)
+
+
+def unpaper_noisefilter(pages: jax.Array, **kwargs) -> jax.Array:
     pages, unb = ensure_batched(pages)
-    mask = nonwhite_mask(rgba_to_gray(pages))
-    wipe = small_cluster_mask(mask, intensity, connectivity=8)
+    wipe = noisefilter_wipe(rgba_to_gray(pages), **kwargs)
     return maybe_unbatch(wipe_white(pages, wipe), unb)

@@ -19,6 +19,9 @@ from typing import Any, Iterable
 
 import jax
 
+import jax.numpy as jnp
+
+from ..core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
 from ..ops import (
     ace,
     canny,
@@ -32,6 +35,13 @@ from ..ops import (
     unpaper_noisefilter,
 )
 from ..ops.swt import swt
+from ..ops.unpaper.blackfilter import blackfilter_wipe
+from ..ops.unpaper.blurfilter import blurfilter_wipe
+from ..ops.unpaper.border import border_wipe
+from ..ops.unpaper.common import wipe_white
+from ..ops.unpaper.grayfilter import grayfilter_wipe
+from ..ops.unpaper.masks import masks_wipe
+from ..ops.unpaper.noisefilter import noisefilter_wipe
 
 _FILTERS = {
     "ace": ace,
@@ -78,12 +88,54 @@ def normalize_spec(spec: Iterable) -> tuple:
     return tuple(out)
 
 
+# unpaper decision cores: wipe mask from a gray plane. A wiped pixel
+# becomes exactly white, so threading `gray = where(wipe, 255, gray)`
+# between stages is bit-identical to re-deriving gray from the wiped RGBA
+# — the fused chain reads the RGBA batch once and writes it once (the
+# reference materializes a full bitmap between every filter pair;
+# SURVEY.md §2.4 PP row).
+_WIPES = {
+    "unpaper_blackfilter": blackfilter_wipe,
+    "unpaper_noisefilter": noisefilter_wipe,
+    "unpaper_blurfilter": blurfilter_wipe,
+    "unpaper_grayfilter": grayfilter_wipe,
+    "unpaper_masks": masks_wipe,
+    "unpaper_border": border_wipe,
+}
+
+
+def _run_unpaper_group(pages: jax.Array, group) -> jax.Array:
+    """Apply a run of consecutive unpaper filters via gray-plane threading."""
+    gray = rgba_to_gray(pages)
+    acc = None
+    for name, kwargs in group:
+        wipe = _WIPES[name](gray, **dict(kwargs))
+        gray = jnp.where(wipe, jnp.float32(255.0), gray)
+        acc = wipe if acc is None else (acc | wipe)
+    return wipe_white(pages, acc)
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def run_pipeline(pages: jax.Array, spec: tuple) -> jax.Array:
-    """Apply a normalized spec to uint8 RGBA [B,H,W,4] in one XLA program."""
-    for name, kwargs in spec:
-        pages = _FILTERS[name](pages, **dict(kwargs))
-    return pages
+    """Apply a normalized spec to uint8 RGBA [B,H,W,4] in one XLA program.
+
+    Consecutive unpaper filters run as one gray-threaded group (single
+    RGBA read + write for the whole group); other filters run in order.
+    """
+    pages, unb = ensure_batched(pages)
+    i, n = 0, len(spec)
+    while i < n:
+        name, kwargs = spec[i]
+        if name in _WIPES:
+            j = i
+            while j < n and spec[j][0] in _WIPES:
+                j += 1
+            pages = _run_unpaper_group(pages, spec[i:j])
+            i = j
+        else:
+            pages = _FILTERS[name](pages, **dict(kwargs))
+            i += 1
+    return maybe_unbatch(pages, unb)
 
 
 def compile_pipeline(spec: Iterable):

@@ -336,7 +336,12 @@ void pf_oracle_blackfilter(const uint8_t* in, uint8_t* out, int h, int w) {
           for (int x = bx; x < bx + size; x++)
             seed[(size_t)y * w + x] = dark[(size_t)y * w + x];
     }
-  // flood 8-conn from seeds over the dark mask, wipe reached pixels
+  // flood from seeds over the dark mask, wipe reached pixels. The flood
+  // leaps gaps: dark pixels within Chebyshev distance
+  // PFT_BLACKFILTER_INTENSITY are connected (unpaper
+  // --blackfilter-intensity semantics, "larger values will leap larger
+  // gaps"); gap pixels are bridges only, never filled.
+  const int leap = PFT_BLACKFILTER_INTENSITY;
   std::vector<uint8_t> reach((size_t)h * w, 0);
   std::deque<int> q;
   for (size_t i = 0; i < seed.size(); i++)
@@ -348,8 +353,8 @@ void pf_oracle_blackfilter(const uint8_t* in, uint8_t* out, int h, int w) {
     int i = q.front();
     q.pop_front();
     int y = i / w, x = i % w;
-    for (int dy = -1; dy <= 1; dy++)
-      for (int dx = -1; dx <= 1; dx++) {
+    for (int dy = -leap; dy <= leap; dy++)
+      for (int dx = -leap; dx <= leap; dx++) {
         int ny = y + dy, nx = x + dx;
         if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
         size_t j = (size_t)ny * w + nx;

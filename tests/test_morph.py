@@ -152,3 +152,39 @@ def test_small_cluster_mask_exact_boundary():
     want[8, 2:7] = False         # the only cluster with > 4 pixels survives
     np.testing.assert_array_equal(got, ~np.logical_xor(got, want) & got)
     np.testing.assert_array_equal(got, want)
+
+
+def test_flood_reach_leap():
+    """Gap-leap connectivity: mask pixels within Chebyshev distance
+    `leap` are connected; wider gaps are not (unpaper blackfilter
+    intensity semantics). Gap pixels are never filled."""
+    h, w = 60, 200
+    mask = np.zeros((h, w), bool)
+    mask[20:30, 10:60] = True     # region A (seeded)
+    mask[20:30, 75:110] = True    # region B: 15px gap  (<= leap 20)
+    mask[20:30, 140:180] = True   # region C: 30px gap from B (> leap 20)
+    seeds = np.zeros_like(mask)
+    seeds[25, 15] = True
+    got = np.asarray(
+        morph.flood_reach(jnp.asarray(seeds)[None], jnp.asarray(mask)[None],
+                          connectivity=8, leap=20)[0])
+    assert got[20:30, 10:60].all()
+    assert got[20:30, 75:110].all(), "15px gap should be leapt (leap=20)"
+    assert not got[20:30, 140:180].any(), "30px gap must NOT be leapt"
+    assert not got[~mask].any(), "gap pixels must never be filled"
+
+
+def test_flood_reach_leap_diagonal_and_rows():
+    """Leap works across rows (sublane axis) and diagonally."""
+    h, w = 120, 80
+    mask = np.zeros((h, w), bool)
+    mask[10:20, 10:50] = True
+    mask[32:40, 10:50] = True     # 12 rows below (<= 20)
+    mask[55:60, 60:70] = True     # diagonal: dy=15, dx=10 -> cheb 15
+    seeds = np.zeros_like(mask)
+    seeds[15, 15] = True
+    got = np.asarray(
+        morph.flood_reach(jnp.asarray(seeds)[None], jnp.asarray(mask)[None],
+                          connectivity=8, leap=20)[0])
+    assert got[32:40, 10:50].all()
+    assert got[55:60, 60:70].all()

@@ -84,3 +84,23 @@ def test_label_components_pallas(rng):
             assert len(vals) == 1
             reps.append(vals.pop())
         assert len(set(reps)) == n
+
+
+def test_flood_pallas_leap(rng):
+    """Pallas band kernel honors the gap-leap radius, including leaps
+    across band boundaries (sublane halo rows)."""
+    h, w = 300, 140
+    mask = np.zeros((1, h, w), bool)
+    mask[0, 10:20, 10:60] = True
+    mask[0, 32:40, 10:60] = True    # 12-row gap, leapt
+    mask[0, 150:160, 10:60] = True  # far region, NOT leapt
+    mask[0, 34:36, 100:130] = True  # dx gap 40 from col 60: > 20, not leapt
+    seeds = np.zeros_like(mask)
+    seeds[0, 15, 15] = True
+    got = np.asarray(flood_reach_pallas(
+        jnp.asarray(seeds), jnp.asarray(mask), leap=20, interpret=True))
+    assert got[0, 10:20, 10:60].all()
+    assert got[0, 32:40, 10:60].all()
+    assert not got[0, 150:160, 10:60].any()
+    assert not got[0, 34:36, 100:130].any()
+    assert not got[0][~mask[0]].any()

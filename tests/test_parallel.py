@@ -135,3 +135,26 @@ def test_make_host_mesh():
     mesh = make_host_mesh()
     assert mesh.axis_names == ("host", "chip")
     assert mesh.devices.size == 8
+
+
+def test_fused_unpaper_group_matches_sequential(rng):
+    """The gray-threaded unpaper group must be bit-identical to applying
+    each filter to RGBA sequentially (a wiped pixel is exactly white, so
+    threading gray = where(wipe, 255, gray) preserves every downstream
+    decision)."""
+    from libpillowfight_tpu.parallel.pipeline import _FILTERS
+
+    pages = np.full((2, 380, 300, 4), 245, np.uint8)
+    pages[..., 3] = 255
+    pages[:, :, :12, :3] = 0                       # black border
+    pages[:, 40:44, 40:260, :3] = 15               # text line
+    pages[:, 200:240, 30:90, :3] = 190             # gray shading
+    ys = rng.integers(0, 380, 60)
+    xs = rng.integers(20, 300, 60)
+    pages[:, ys, xs, :3] = 30                      # speckle
+    spec = normalize_spec(DOCUMENT_CLEANUP)
+    fused = np.asarray(run_pipeline(jnp.asarray(pages), spec))
+    seq = jnp.asarray(pages)
+    for name, kw in spec:
+        seq = _FILTERS[name](seq, **dict(kw))
+    np.testing.assert_array_equal(fused, np.asarray(seq))
