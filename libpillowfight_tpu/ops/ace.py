@@ -99,6 +99,39 @@ def ace_with_samples(pages: jax.Array, sy: jax.Array, sx: jax.Array,
     return jnp.concatenate([_rescale(num / den), pages[..., 3:]], axis=-1)
 
 
+def _pixel_sample_accum(rgb, flat, idx, slope, limit):
+    """(num, den) contribution of per-pixel flat sample indices
+    idx int32 [B,H,W,S] against rgb f32 [B,H,W,3] (flat = rgb reshaped
+    [B,H*W,3])."""
+    b, h, w, _ = rgb.shape
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    s = idx.shape[-1]
+    svals = jax.vmap(lambda f, i: f[i])(flat, idx.reshape(b, -1))
+    svals = svals.reshape(b, h, w, s, 3)
+    dy = (idx // w - py[None, :, :, None]).astype(jnp.float32)
+    dx = (idx % w - px[None, :, :, None]).astype(jnp.float32)
+    d = jnp.maximum(jnp.sqrt(dy * dy + dx * dx), 1.0)[..., None]
+    delta = rgb[:, :, :, None, :] - svals
+    num = jnp.sum(jnp.clip(slope * delta, -limit, limit) / d, axis=3)
+    den = jnp.sum(limit / d, axis=3)
+    return num, den
+
+
+def ace_with_pixel_samples(pages: jax.Array, idx: jax.Array, slope: float,
+                           limit: float) -> jax.Array:
+    """Per-pixel-sample ACE with EXPLICIT flat sample indices
+    idx int32 [B,H,W,S] (pixel (y,x) uses its own S samples) — the parity
+    harness for mode="per_pixel": the C++ oracle
+    (pf_oracle_ace_pixel_samples) consumes identical indices, making the
+    comparison pure arithmetic with no RNG mismatch."""
+    b, h, w, _ = pages.shape
+    rgb = pages[..., :3].astype(jnp.float32)
+    num, den = _pixel_sample_accum(rgb, rgb.reshape(b, h * w, 3), idx,
+                                   slope, limit)
+    return jnp.concatenate([_rescale(num / den), pages[..., 3:]], axis=-1)
+
+
 def _ace_per_pixel(pages: jax.Array, key: jax.Array, nb_samples: int,
                    slope: float, limit: float, chunk: int = 8) -> jax.Array:
     """Faithful per-pixel independent sampling (gather-based)."""
@@ -106,24 +139,14 @@ def _ace_per_pixel(pages: jax.Array, key: jax.Array, nb_samples: int,
     rgb = pages[..., :3].astype(jnp.float32)
     flat = rgb.reshape(b, h * w, 3)
 
-    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-
     n_chunks = -(-nb_samples // chunk)
     keys = jax.random.split(key, n_chunks)
 
     def body(carry, k):
         num, den = carry
         idx = jax.random.randint(k, (b, h, w, chunk), 0, h * w, dtype=jnp.int32)
-        svals = jax.vmap(lambda f, i: f[i])(flat, idx.reshape(b, -1))
-        svals = svals.reshape(b, h, w, chunk, 3)
-        dy = (idx // w - py[None, :, :, None]).astype(jnp.float32)
-        dx = (idx % w - px[None, :, :, None]).astype(jnp.float32)
-        d = jnp.maximum(jnp.sqrt(dy * dy + dx * dx), 1.0)[..., None]
-        delta = rgb[:, :, :, None, :] - svals
-        num = num + jnp.sum(jnp.clip(slope * delta, -limit, limit) / d, axis=3)
-        den = den + jnp.sum(limit / d, axis=3)
-        return (num, den), None
+        dn, dd = _pixel_sample_accum(rgb, flat, idx, slope, limit)
+        return (num + dn, den + dd), None
 
     zeros = jnp.zeros((b, h, w, 3), jnp.float32)
     (num, den), _ = jax.lax.scan(body, (zeros, zeros), keys)

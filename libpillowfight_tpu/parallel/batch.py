@@ -30,6 +30,7 @@ class BatchMetrics:
     seconds: float = 0.0
     chunks: int = 0
     retries: int = 0
+    stolen: int = 0
     chunk_seconds: list = field(default_factory=list)
 
     @property
@@ -49,6 +50,7 @@ class BatchMetrics:
             "mp_per_sec": round(self.mp_per_sec, 2),
             "chunks": self.chunks,
             "retries": self.retries,
+            "stolen": self.stolen,
         }
 
 
@@ -61,16 +63,37 @@ class BatchRunner:
     """
 
     def __init__(self, spec, chunk_size: int = 64, mesh=None,
-                 manifest_path: str | None = None, max_retries: int = 2):
+                 manifest_path: str | None = None, max_retries: int = 2,
+                 host_id: int = 0, n_hosts: int = 1, heartbeat=None,
+                 steal_poll: float = 1.0):
+        """host_id/n_hosts partition chunks round-robin across hosts (a
+        chunk's owner = chunk_index % n_hosts); `heartbeat` (a
+        multihost.Heartbeat over a shared directory) enables the failure
+        RESPONSE: after finishing its own chunks, a host steals and
+        reprocesses the unfinished chunks of any host whose heartbeat has
+        gone stale, and waits on live peers until the whole batch is
+        done. Steals are de-duplicated via O_EXCL claim files next to the
+        manifest (a claim older than the heartbeat timeout is treated as
+        abandoned and re-claimable), so completion is at-least-once."""
         self.spec = normalize_spec(spec)
         self.fn = compile_pipeline(self.spec)
         self.chunk_size = chunk_size
         self.mesh = mesh if mesh is not None else make_mesh()
         self.manifest_path = manifest_path
         self.max_retries = max_retries
+        self.host_id = host_id
+        self.n_hosts = n_hosts
+        self.heartbeat = heartbeat
+        self.steal_poll = steal_poll
+        if heartbeat is not None and manifest_path is None:
+            raise ValueError("work stealing needs a shared manifest_path")
         self._done: set[int] = set()
-        if manifest_path and os.path.exists(manifest_path):
-            with open(manifest_path) as f:
+        self._reload_done()
+
+    def _reload_done(self) -> None:
+        """Sync finished-chunk set from the (shared) manifest file."""
+        if self.manifest_path and os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
                 for line in f:
                     line = line.strip()
                     if line:
@@ -80,41 +103,86 @@ class BatchRunner:
         self._done.add(start)
         if self.manifest_path:
             with open(self.manifest_path, "a") as f:
-                f.write(json.dumps({"start": start, "n": n, "dt": round(dt, 4)}) + "\n")
+                f.write(json.dumps({"start": start, "n": n, "dt": round(dt, 4),
+                                    "host": self.host_id}) + "\n")
+
+    def _owner(self, start: int) -> int:
+        return (start // self.chunk_size) % self.n_hosts
+
+    def _claim(self, start: int) -> bool:
+        """Try to claim a steal target (O_EXCL file). Stale claims (older
+        than the heartbeat timeout — the claimer died too) are overridden."""
+        path = f"{self.manifest_path}.claim.{start}"
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                return False
+            if age <= self.heartbeat.timeout:
+                return False
+            os.utime(path)  # adopt the abandoned claim
+            return True
+        with os.fdopen(fd, "w") as f:
+            f.write(str(self.host_id))
+        return True
+
+    def _process_chunk(self, start: int, total_pages: int, source, sink,
+                       m: BatchMetrics) -> None:
+        n = min(self.chunk_size, total_pages - start)
+        idx = np.arange(start, start + n)
+        pages = np.asarray(source(idx))
+        # pad the chunk to a multiple of the pages axis (last chunk or
+        # chunk_size not divisible by the mesh) by repeating page 0
+        n_pages_axis = self.mesh.shape[self.mesh.axis_names[0]]
+        pad = -len(pages) % n_pages_axis
+        if pad:
+            pages = np.concatenate([pages, np.repeat(pages[:1], pad, 0)])
+        t0 = time.perf_counter()
+        for attempt in range(self.max_retries + 1):
+            try:
+                sharded = shard_pages(jax.numpy.asarray(pages), self.mesh)
+                out = self.fn(sharded)
+                out = jax.block_until_ready(out)
+                break
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+                m.retries += 1
+        dt = time.perf_counter() - t0
+        if sink is not None:
+            sink(idx, np.asarray(out)[:n])
+        self._mark_done(start, n, dt)
+        m.pages += n
+        m.megapixels += n * pages.shape[1] * pages.shape[2] / 1e6
+        m.chunks += 1
+        m.chunk_seconds.append(dt)
 
     def run(self, total_pages: int, source, sink=None) -> BatchMetrics:
         m = BatchMetrics()
         t_all = time.perf_counter()
-        for start in range(0, total_pages, self.chunk_size):
-            n = min(self.chunk_size, total_pages - start)
-            if start in self._done:
+        all_starts = list(range(0, total_pages, self.chunk_size))
+        # phase 1: this host's own chunks
+        for start in all_starts:
+            if start in self._done or self._owner(start) != self.host_id:
                 continue
-            idx = np.arange(start, start + n)
-            pages = np.asarray(source(idx))
-            # pad the chunk to a multiple of the pages axis (last chunk or
-            # chunk_size not divisible by the mesh) by repeating page 0
-            n_pages_axis = self.mesh.shape[self.mesh.axis_names[0]]
-            pad = -len(pages) % n_pages_axis
-            if pad:
-                pages = np.concatenate([pages, np.repeat(pages[:1], pad, 0)])
-            t0 = time.perf_counter()
-            for attempt in range(self.max_retries + 1):
-                try:
-                    sharded = shard_pages(jax.numpy.asarray(pages), self.mesh)
-                    out = self.fn(sharded)
-                    out = jax.block_until_ready(out)
-                    break
-                except Exception:
-                    if attempt == self.max_retries:
-                        raise
-                    m.retries += 1
-            dt = time.perf_counter() - t0
-            if sink is not None:
-                sink(idx, np.asarray(out)[:n])
-            self._mark_done(start, n, dt)
-            m.pages += n
-            m.megapixels += n * pages.shape[1] * pages.shape[2] / 1e6
-            m.chunks += 1
-            m.chunk_seconds.append(dt)
+            self._process_chunk(start, total_pages, source, sink, m)
+        # phase 2 (failure response): steal unfinished chunks from stale
+        # hosts; wait on live peers until the whole batch is complete
+        while self.heartbeat is not None and self.n_hosts > 1:
+            self._reload_done()
+            remaining = [s for s in all_starts if s not in self._done]
+            if not remaining:
+                break
+            stale = set(self.heartbeat.stale_hosts())
+            stole = False
+            for start in remaining:
+                if self._owner(start) in stale and self._claim(start):
+                    self._process_chunk(start, total_pages, source, sink, m)
+                    m.stolen += 1
+                    stole = True
+            if not stole:
+                time.sleep(self.steal_poll)
         m.seconds = time.perf_counter() - t_all
         return m

@@ -53,10 +53,13 @@ class Heartbeat:
     """
 
     def __init__(self, directory: str, interval: float = 10.0,
-                 timeout: float = 60.0):
+                 timeout: float = 60.0, host_id: int | None = None,
+                 n_hosts: int | None = None):
         self.dir = directory
         self.interval = interval
         self.timeout = timeout
+        self.host_id = jax.process_index() if host_id is None else host_id
+        self.n_hosts = jax.process_count() if n_hosts is None else n_hosts
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         os.makedirs(directory, exist_ok=True)
@@ -64,15 +67,18 @@ class Heartbeat:
     def _path(self, pid: int) -> str:
         return os.path.join(self.dir, f"host{pid}.hb")
 
+    def _beat(self, seq: int) -> None:
+        tmp = self._path(self.host_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seq": seq, "t": time.time()}, f)
+        os.replace(tmp, self._path(self.host_id))
+
     def _run(self):
         seq = 0
-        pid = jax.process_index()
+        self._beat(seq)  # announce liveness immediately
         while not self._stop.wait(self.interval):
             seq += 1
-            tmp = self._path(pid) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"seq": seq, "t": time.time()}, f)
-            os.replace(tmp, self._path(pid))
+            self._beat(seq)
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -87,7 +93,7 @@ class Heartbeat:
     def stale_hosts(self) -> list[int]:
         now = time.time()
         stale = []
-        for i in range(jax.process_count()):
+        for i in range(self.n_hosts):
             try:
                 with open(self._path(i)) as f:
                     beat = json.load(f)

@@ -49,6 +49,12 @@ def _load():
     _lib.pf_oracle_ace_samples.argtypes = [
         u8p, u8p, ctypes.c_int, ctypes.c_int, i32p, i32p, ctypes.c_int,
         ctypes.c_double, ctypes.c_double]
+    _lib.pf_oracle_ace_pixel_samples.argtypes = [
+        u8p, u8p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double]
+    _lib.pf_oracle_ace_rand.argtypes = [
+        u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_uint64]
     _lib.pf_oracle_compare.argtypes = [
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p]
     return _lib
@@ -119,6 +125,32 @@ def ace_samples(page, sy, sx, slope=10.0, limit=1000.0):
         sy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         sx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(sy), ctypes.c_double(slope), ctypes.c_double(limit))
+    return out
+
+
+def ace_pixel_samples(page, idx, slope=10.0, limit=1000.0):
+    """Per-pixel explicit samples: idx int32 [H, W, S] flat indices."""
+    lib = _load()
+    page = np.ascontiguousarray(page, np.uint8)
+    idx = np.ascontiguousarray(idx, np.int32)
+    h, w, _ = page.shape
+    out = np.empty_like(page)
+    lib.pf_oracle_ace_pixel_samples(
+        _buf(page), _buf(out), h, w,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx.shape[-1], ctypes.c_double(slope), ctypes.c_double(limit))
+    return out
+
+
+def ace_rand(page, nb_samples=100, slope=10.0, limit=1000.0, seed=0):
+    """Reference-faithful fully random per-pixel ACE (xorshift stream)."""
+    lib = _load()
+    page = np.ascontiguousarray(page, np.uint8)
+    h, w, _ = page.shape
+    out = np.empty_like(page)
+    lib.pf_oracle_ace_rand(_buf(page), _buf(out), h, w, nb_samples,
+                           ctypes.c_double(slope), ctypes.c_double(limit),
+                           ctypes.c_uint64(seed))
     return out
 
 

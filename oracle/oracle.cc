@@ -297,6 +297,85 @@ void pf_oracle_ace_samples(const uint8_t* in, uint8_t* out, int h, int w,
   }
 }
 
+namespace {
+
+// Shared ACE normalization: num/den [h*w*3] -> uint8 RGBA out.
+void ace_finish(const uint8_t* in, uint8_t* out, int h, int w,
+                std::vector<double>& num, const std::vector<double>& den) {
+  double lo[3] = {1e30, 1e30, 1e30}, hi[3] = {-1e30, -1e30, -1e30};
+  for (size_t i = 0; i < (size_t)h * w; i++)
+    for (int c = 0; c < 3; c++) {
+      double n = num[3 * i + c] / den[3 * i + c];
+      num[3 * i + c] = n;
+      lo[c] = std::min(lo[c], n);
+      hi[c] = std::max(hi[c], n);
+    }
+  for (size_t i = 0; i < (size_t)h * w; i++) {
+    for (int c = 0; c < 3; c++) {
+      double span = hi[c] - lo[c];
+      double v = span > 1e-9 ? 255.0 * (num[3 * i + c] - lo[c]) / span : 127.5;
+      out[4 * i + c] = clamp_u8(v);
+    }
+    out[4 * i + 3] = in[4 * i + 3];
+  }
+}
+
+// Accumulate one (pixel i, sample flat index j) contribution.
+inline void ace_accum(const uint8_t* in, int w, size_t i, int j, double slope,
+                      double limit, std::vector<double>& num,
+                      std::vector<double>& den) {
+  int y = (int)(i / w), x = (int)(i % w);
+  int sy = j / w, sx = j % w;
+  double d = std::sqrt((double)(y - sy) * (y - sy) +
+                       (double)(x - sx) * (x - sx));
+  d = std::max(d, 1.0);
+  const uint8_t* p = in + 4 * i;
+  const uint8_t* sp = in + 4 * (size_t)j;
+  for (int c = 0; c < 3; c++) {
+    double delta = slope * ((double)p[c] - sp[c]);
+    delta = std::min(limit, std::max(-limit, delta));
+    num[3 * i + c] += delta / d;
+    den[3 * i + c] += limit / d;
+  }
+}
+
+}  // namespace
+
+// Per-pixel independent samples with EXPLICIT flat indices idx[h*w*ns]
+// (pixel i uses idx[i*ns + s]) — parity harness for the TPU kernel's
+// faithful mode="per_pixel" estimator (ref: ace.c per-pixel sampling,
+// SURVEY.md §3.1): both sides consume identical samples, so the
+// comparison is exact arithmetic, no RNG in the loop.
+void pf_oracle_ace_pixel_samples(const uint8_t* in, uint8_t* out, int h,
+                                 int w, const int* idx, int ns, double slope,
+                                 double limit) {
+  std::vector<double> num((size_t)h * w * 3, 0.0), den((size_t)h * w * 3, 0.0);
+  for (size_t i = 0; i < (size_t)h * w; i++)
+    for (int s = 0; s < ns; s++)
+      ace_accum(in, w, i, idx[i * ns + s], slope, limit, num, den);
+  ace_finish(in, out, h, w, num, den);
+}
+
+// Reference-faithful fully random per-pixel sampling (ref: ace.c rand()
+// loop) with a deterministic xorshift64* stream — the distributional
+// parity target: the TPU estimators must match its output statistics.
+void pf_oracle_ace_rand(const uint8_t* in, uint8_t* out, int h, int w,
+                        int ns, double slope, double limit, uint64_t seed) {
+  std::vector<double> num((size_t)h * w * 3, 0.0), den((size_t)h * w * 3, 0.0);
+  uint64_t st = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+  auto next = [&st]() {
+    st ^= st >> 12;
+    st ^= st << 25;
+    st ^= st >> 27;
+    return st * 2685821657736338717ULL;
+  };
+  for (size_t i = 0; i < (size_t)h * w; i++)
+    for (int s = 0; s < ns; s++)
+      ace_accum(in, w, i, (int)(next() % ((uint64_t)h * w)), slope, limit,
+                num, den);
+  ace_finish(in, out, h, w, num, den);
+}
+
 void pf_oracle_compare(const uint8_t* a, const uint8_t* b, uint8_t* diff,
                        int h, int w, int tolerance, int* n_diff) {
   int n = 0;

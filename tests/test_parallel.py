@@ -158,3 +158,48 @@ def test_fused_unpaper_group_matches_sequential(rng):
     for name, kw in spec:
         seq = _FILTERS[name](seq, **dict(kw))
     np.testing.assert_array_equal(fused, np.asarray(seq))
+
+
+def test_batch_runner_steals_from_dead_host(tmp_path):
+    """Failure RESPONSE (SURVEY §5): a 2-host batch where host 1 dies
+    after one chunk — host 0 must detect the stale heartbeat and
+    reprocess host 1's unfinished chunks (real child process, killed)."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    from libpillowfight_tpu.parallel import BatchRunner, Heartbeat
+
+    tmp = str(tmp_path)
+    child_src = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, os
+from libpillowfight_tpu.parallel import BatchRunner, Heartbeat
+from libpillowfight_tpu.parallel.batch import BatchMetrics
+hb = Heartbeat({tmp!r} + "/hb", interval=0.2, timeout=1.0,
+               host_id=1, n_hosts=2).start()
+pages = np.full((4, 64, 64, 4), 255, np.uint8)
+r = BatchRunner([("unpaper_border", ())], chunk_size=4,
+                manifest_path={tmp!r} + "/m.jsonl", host_id=1, n_hosts=2)
+r._process_chunk(4, 16, lambda idx: pages, None, BatchMetrics())
+os._exit(1)  # crash: chunk 12 (also host 1's) never happens
+"""
+    proc = subprocess.run([_sys.executable, "-c", child_src], timeout=300)
+    assert proc.returncode == 1  # simulated crash
+
+    # host 1's heartbeat file exists but stops updating -> goes stale
+    hb0 = Heartbeat(tmp + "/hb", interval=0.2, timeout=1.0,
+                    host_id=0, n_hosts=2).start()
+    pages = np.full((4, 64, 64, 4), 255, np.uint8)
+    seen = []
+    runner = BatchRunner([("unpaper_border", ())], chunk_size=4,
+                         manifest_path=tmp + "/m.jsonl", host_id=0,
+                         n_hosts=2, heartbeat=hb0, steal_poll=0.2)
+    m = runner.run(16, lambda idx: pages, lambda idx, out: seen.extend(idx))
+    hb0.stop()
+
+    assert m.stolen == 1          # chunk 12 reassigned from the dead host
+    assert m.chunks == 3          # own 0, 8 + stolen 12
+    assert sorted(seen) == sorted(list(range(0, 4)) + list(range(8, 16)))
+    starts = sorted(json.loads(x)["start"] for x in open(tmp + "/m.jsonl"))
+    assert starts == [0, 4, 8, 12]  # whole batch complete exactly once
