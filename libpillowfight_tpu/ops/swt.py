@@ -18,17 +18,23 @@ machinery is reformulated to be *dense and shift-based*:
    jumped).
 3. First-edge distance for EVERY pixel along every class is computed by
    pointer doubling over static shifts: log2(T) dense select passes per
-   class carry (euclidean distance, class-at-first-edge). One set of 16
-   distance maps serves both polarity passes (a dark-on-light ray of
-   class k is a light-on-dark ray of class k+8).
-4. Stroke widths are committed by marching the *gated width map* t steps
-   along v_k with dynamic rolls inside a while_loop bounded by the
-   longest VALID ray on the page (misses never march) — pure dense
-   min/select per step, no scatters.
+   class carry (euclidean distance, class-at-first-edge, plus optional
+   payloads pulled from the first-edge cell). One set of 16 chains
+   serves both polarity passes (a dark-on-light ray of class k is a
+   light-on-dark ray of class k+8).
+4. Stroke widths are committed WITHOUT ray marching, by the segment
+   identity: a class-k ray stops at the first edge, so the cells a ray
+   covers are exactly one edge-free run between two edge pixels — which
+   means the ONLY anchor that can commit to a pixel p along class k is
+   p's nearest upstream edge e1, its hit is p's nearest downstream edge
+   e2, and the stroke width is dist(e1, p) + dist(p, e2). Both come from
+   the first-edge chains of k and k+8, so the whole commit is O(1) dense
+   selects per class — no while_loop, no t_cap, no dynamic rolls.
 5. The per-ray median clamp gathers an evenly-subsampled 17-point
    profile per compacted valid ray (the only gather in the kernel),
    sorts once, writes medians back to their unique anchor pixels, and
-   re-runs the dense commit march with medians.
+   re-commits them through a second payload-carrying first-edge chain
+   (the median rides the same upstream pull as the width).
 6. Connected components over similar stroke widths use
    morph.label_components_links; per-component statistics compact the
    valid-SWT pixels first so the scatter-adds touch ~1/8 of the page.
@@ -84,16 +90,6 @@ def _shift_static(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
     return p[py + dy : py + dy + h, px + dx : px + dx + w]
 
 
-def _roll_dyn(x: jax.Array, ty, tx, fill) -> jax.Array:
-    """out[y, x] = x[y + ty, x + tx] with traced integer offsets."""
-    h, w = x.shape
-    rolled = jnp.roll(x, (-ty, -tx), axis=(0, 1))
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    ok = ((ys + ty) >= 0) & ((ys + ty) < h) & ((xs + tx) >= 0) & ((xs + tx) < w)
-    return jnp.where(ok, rolled, fill)
-
-
 def _quantize_dirs(ux: jax.Array, uy: jax.Array) -> jax.Array:
     """Nearest primitive-vector class (int8) for unit directions."""
     ang = jnp.arctan2(uy, ux)  # [-pi, pi]
@@ -105,33 +101,60 @@ def _quantize_dirs(ux: jax.Array, uy: jax.Array) -> jax.Array:
     return jnp.argmin(diffs, axis=-1).astype(jnp.int8)
 
 
-def _first_edge_along(edge_cls: jax.Array, k: int, t_units: int):
+def _halves(v):
+    """Intermediate cells of one v-step (knight moves), ordered far to
+    near so overwriting base-case hits leaves the NEAREST one. A digital
+    ray is blocked by an edge on EITHER intermediate (symmetric in the
+    travel direction, so upstream and downstream chains agree)."""
+    h = _half(v)
+    if h is None:
+        return ()
+    g = (v[0] - h[0], v[1] - h[1])
+    pair = sorted({h, g}, key=lambda c: -np.hypot(*c))
+    return tuple(pair)
+
+
+def _first_edge_along(edge_cls: jax.Array, k: int, t_units: int,
+                      payloads=()):
     """First edge pixel along direction class k from every pixel.
 
     edge_cls int8 [H,W]: class id at edge pixels, -1 elsewhere. Checks
-    the intermediate half-step cell first for knight vectors (a digital
+    the intermediate half-step cells first for knight vectors (a digital
     ray must not pass through a 1-px edge). Pointer doubling: after step
     j the carry holds the first edge within 2^j v-steps, so log2(t_units)
     static-shift select passes compute every pixel's first hit.
 
+    payloads: optional f32 [H,W] maps; their value AT the first-edge
+    cell is pulled back to every pixel (fill _INF on miss) — this is how
+    the median clamp rides the chain back over the ray cells.
+
     Returns (dist f32 [H,W] euclidean distance, units i32 [H,W] v-step
-    count, cls int8 [H,W] class at the hit; INF / -1 on miss).
+    count, cls int8 [H,W] class at the hit, lat bool [H,W] hit at a
+    lattice multiple of v (False = hit at a knight intermediate — such an
+    edge blocks the ray but lies on a NEIGHBOR line, so it cannot anchor
+    a ray through this pixel), [pulled payloads...]; INF / -1 on miss).
     """
     v = _VECS[k]
-    half = _half(v)
     nv = float(_NORMS[k])
 
-    # one-step base case
+    # one-step base case: full step first, then intermediates far->near
+    # overwrite (the continuously-first hit wins)
     ev = _shift_static(edge_cls, v[0], v[1], -1)
     d = jnp.where(ev >= 0, jnp.float32(nv), _INF)
     u = jnp.where(ev >= 0, 1, 0).astype(jnp.int32)
     c = jnp.where(ev >= 0, ev, -1).astype(jnp.int8)
-    if half is not None:
-        eh = _shift_static(edge_cls, half[0], half[1], -1)
+    lat = ev >= 0
+    pl = [jnp.where(ev >= 0, _shift_static(p, v[0], v[1], _INF), _INF)
+          for p in payloads]
+    for hc in _halves(v):
+        eh = _shift_static(edge_cls, hc[0], hc[1], -1)
         hit_h = eh >= 0
-        d = jnp.where(hit_h, jnp.float32(np.hypot(*half)), d)
+        d = jnp.where(hit_h, jnp.float32(np.hypot(*hc)), d)
         u = jnp.where(hit_h, 1, u)  # intermediate counts as the 1st step
         c = jnp.where(hit_h, eh, c)
+        lat = jnp.where(hit_h, False, lat)
+        pl = [jnp.where(hit_h, _shift_static(p, hc[0], hc[1], _INF), q)
+              for p, q in zip(payloads, pl)]
 
     step = 1
     while step < t_units:
@@ -141,42 +164,79 @@ def _first_edge_along(edge_cls: jax.Array, k: int, t_units: int):
         c2 = _shift_static(c, sy, sx, -1)
         miss = d >= _INF
         ext = d2 < _INF
-        d = jnp.where(miss & ext, step * nv + d2, d)
-        u = jnp.where(miss & ext, step + u2, u)
-        c = jnp.where(miss & ext, c2, c)
+        take = miss & ext
+        d = jnp.where(take, step * nv + d2, d)
+        u = jnp.where(take, step + u2, u)
+        c = jnp.where(take, c2, c)
+        lat = jnp.where(take, _shift_static(lat, sy, sx, False), lat)
+        pl = [jnp.where(take, _shift_static(q, sy, sx, _INF), q) for q in pl]
         step *= 2
-    return d, u, c
-
-
-def _commit_march(swt, value_map, units_map, k: int, t_cap):
-    """swt[p] = min(swt[p], value at anchor a = p - t*v_k) for every
-    anchor whose ray covers p (t <= units[a]); also covers knight-move
-    intermediate cells. Dense dynamic rolls in a while_loop bounded by
-    the longest valid ray (t_cap, traced scalar)."""
-    v = _VECS[k]
-    half = _half(v)
-
-    def body(state):
-        t, acc = state
-        ty, tx = t * v[0], t * v[1]
-        val = _roll_dyn(value_map, -ty, -tx, _INF)
-        un = _roll_dyn(units_map, -ty, -tx, 0)
-        acc = jnp.minimum(acc, jnp.where(un >= t, val, _INF))
-        if half is not None:
-            hy, hx = (t - 1) * v[0] + half[0], (t - 1) * v[1] + half[1]
-            val_h = _roll_dyn(value_map, -hy, -hx, _INF)
-            un_h = _roll_dyn(units_map, -hy, -hx, 0)
-            acc = jnp.minimum(acc, jnp.where(un_h >= t, val_h, _INF))
-        return t + 1, acc
-
-    def cond(state):
-        return state[0] <= t_cap
-
-    _, swt = jax.lax.while_loop(cond, body, (jnp.int32(1), swt))
-    return swt
+    return (d, u, c, lat, *pl)
 
 
 _MED_SAMPLES = 17  # evenly subsampled ray profile for the median clamp
+
+
+def _class_commit(k: int, s: int, down, up, edge_cls, is_edge, t_units,
+                  opposing, payload_up=None, payload_anchor=None):
+    """Committed value map for (class k, sign s) via the segment pull.
+
+    down/up = (d, u, c) chains along k and k+8. A pixel p's only class-k
+    committer is its nearest upstream edge e1 (u chain); the hit is its
+    nearest downstream edge e2 (d chain); both ends' validity conditions
+    are re-derived from the chain carries. With payload_up (the value
+    pulled from e1, e.g. the ray median) the committed value is that
+    payload instead of the geometric width; payload_anchor is the value
+    an anchor pixel commits to itself.
+
+    Returns (contrib f32 [H,W], is_anchor bool, u_dn i32) — contrib
+    already includes knight-move intermediate coverage.
+    """
+    d_dn, u_dn, c_dn = down[0], down[1], down[2]
+    d_up, u_up, c_up, lat_up = up[0], up[1], up[2], up[3]
+    # an edge of gradient class c casts along class c (sign +1) or c+8
+    # (sign -1). The Epshtein condition compares the HIT gradient against
+    # the ANCHOR's gradient class `src` (~anti-parallel) — ref: swt.c.
+    src = (k - (_NDIR // 2 if s == -1 else 0)) % _NDIR
+    # e1 is a src-class edge ON THIS LATTICE LINE (an edge at a knight
+    # intermediate blocks rays but anchors only its own neighbor line —
+    # that coverage arrives via the half-cell shift below)
+    anchor_up_ok = (c_up == src) & lat_up
+    hit_dn_ok = opposing(c_dn, src)       # e2 opposes the anchor
+
+    # mid cells: the edge-free run (e1, e2) is e1's ray
+    mid_ok = (
+        (~is_edge) & anchor_up_ok & hit_dn_ok
+        & (d_up < _INF) & (d_dn < _INF) & (u_up + u_dn <= t_units)
+    )
+    # hit cells: p == e2 of e1's ray (rays include their hit pixel)
+    hit_ok = (
+        is_edge & anchor_up_ok & opposing(edge_cls, src)
+        & (d_up < _INF) & (u_up <= t_units)
+    )
+    # anchor cells: p == e1 (rays cover their own anchor)
+    is_anchor = (
+        (edge_cls == src) & hit_dn_ok & (d_dn < _INF) & (u_dn <= t_units)
+    )
+    if payload_up is None:
+        w_mid = jnp.where(mid_ok, jnp.maximum(d_up + d_dn, 1.0), _INF)
+        w_hit = jnp.where(hit_ok, jnp.maximum(d_up, 1.0), _INF)
+        w_anc = jnp.where(is_anchor, jnp.maximum(d_dn, 1.0), _INF)
+    else:
+        w_mid = jnp.where(mid_ok, payload_up, _INF)
+        w_hit = jnp.where(hit_ok, payload_up, _INF)
+        w_anc = (jnp.where(is_anchor, payload_anchor, _INF)
+                 if payload_anchor is not None else _INF)
+
+    contrib = jnp.minimum(jnp.minimum(w_mid, w_hit), w_anc)
+    half = _half(_VECS[k])
+    if half is not None:
+        # knight rays also cover the half-step cell after every covered
+        # non-hit cell m: intermediate c = m + half pulls from m
+        w_prev = jnp.minimum(w_mid, w_anc)
+        contrib = jnp.minimum(
+            contrib, _shift_static(w_prev, -half[0], -half[1], _INF))
+    return contrib, is_anchor, u_dn
 
 
 def _swt_maps_one(gray, edges, max_rays, max_len):
@@ -199,6 +259,7 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
 
     cls = _quantize_dirs(ux, uy)                   # gradient class, int8
     edge_cls = jnp.where(edges, cls, jnp.int8(-1))
+    is_edge = edge_cls >= 0
 
     # opposing-gradient test on classes: within pi/6 of anti-parallel.
     # class angular spacing alternates 18.4/26.6 deg, so +-1 class of the
@@ -207,50 +268,41 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
         diff = jnp.mod(hit_cls.astype(jnp.int32) - (k + _NDIR // 2), _NDIR)
         return (hit_cls >= 0) & ((diff <= 1) | (diff >= _NDIR - 1))
 
-    swt = {s: jnp.full((h, w), _INF, jnp.float32) for s in (-1, 1)}
-    anchors = {s: [] for s in (-1, 1)}  # per class: (valid, dist, units)
+    def t_units(k):
+        return max(int(np.ceil(max_len / _NORMS[k])), 1)
 
-    for k in range(_NDIR):
-        t_units = max(int(np.ceil(max_len / _NORMS[k])), 1)
-        dist, units, hit_cls = _first_edge_along(edge_cls, k, t_units)
-        hit_valid = (dist < _INF) & (units <= t_units)
-        for s in (-1, 1):
-            # an edge of gradient class c casts along class c (sign +1)
-            # or c+8 (sign -1). The Epshtein condition compares the HIT
-            # gradient against the ANCHOR's gradient class `src` (must be
-            # ~anti-parallel), not against the travel class k — for
-            # sign=-1 those differ by 8 classes (ref: swt.c ray loop).
-            src = (k - (_NDIR // 2 if s == -1 else 0)) % _NDIR
-            ok = opposing(hit_cls, src) & hit_valid
-            is_anchor = (edge_cls == src) & ok
-            width = jnp.where(is_anchor, jnp.maximum(dist, 1.0), _INF)
-            un = jnp.where(is_anchor, units, 0)
-            t_cap = jnp.max(un)
-            swt[s] = jnp.minimum(swt[s], width)  # ray covers its anchor
-            swt[s] = _commit_march(swt[s], width, un, k, t_cap)
-            anchors[s].append((is_anchor, width, un))
+    swt = {s: jnp.full((h, w), _INF, jnp.float32) for s in (-1, 1)}
+    any_anchor = {s: jnp.zeros((h, w), bool) for s in (-1, 1)}
+    a_units = {s: jnp.zeros((h, w), jnp.int32) for s in (-1, 1)}
+    a_k = {s: jnp.zeros((h, w), jnp.int8) for s in (-1, 1)}
+
+    # ---- pass 1: width maps. Chains come in opposite pairs so only two
+    # are live at a time (memory: O(1) page maps, not O(classes)).
+    for k in range(_NDIR // 2):
+        ch_k = _first_edge_along(edge_cls, k, t_units(k))
+        ch_o = _first_edge_along(edge_cls, k + _NDIR // 2, t_units(k))
+        for kk, down, up in ((k, ch_k, ch_o), (k + _NDIR // 2, ch_o, ch_k)):
+            for s in (-1, 1):
+                contrib, is_anchor, u_dn = _class_commit(
+                    kk, s, down, up, edge_cls, is_edge, t_units(kk), opposing)
+                swt[s] = jnp.minimum(swt[s], contrib)
+                any_anchor[s] = any_anchor[s] | is_anchor
+                a_units[s] = jnp.where(is_anchor, u_dn, a_units[s])
+                a_k[s] = jnp.where(is_anchor, jnp.int8(kk), a_k[s])
 
     # ---- median clamp (pass 2, ref: swt.c / Epshtein sec. 3.1):
     # per valid ray, the median of an evenly subsampled swt profile,
-    # re-committed with min along the same ray cells.
+    # re-committed along the same segment via a payload-carrying chain.
     vy = jnp.asarray([v[0] for v in _VECS], jnp.int32)
     vx = jnp.asarray([v[1] for v in _VECS], jnp.int32)
-    out = {}
+    med_map = {}
     for s in (-1, 1):
-        any_anchor = jnp.zeros((h, w), bool)
-        a_units = jnp.zeros((h, w), jnp.int32)
-        a_k = jnp.zeros((h, w), jnp.int8)
-        for k, (is_anchor, _, un) in enumerate(anchors[s]):
-            any_anchor = any_anchor | is_anchor
-            a_units = jnp.where(is_anchor, un, a_units)
-            a_k = jnp.where(is_anchor, jnp.int8(k), a_k)
-
-        ay, ax = jnp.nonzero(any_anchor, size=max_rays, fill_value=-1)
+        ay, ax = jnp.nonzero(any_anchor[s], size=max_rays, fill_value=-1)
         valid_r = ay >= 0
         ays = jnp.maximum(ay, 0)
         axs = jnp.maximum(ax, 0)
-        r_units = a_units[ays, axs]
-        r_k = a_k[ays, axs].astype(jnp.int32)
+        r_units = a_units[s][ays, axs]
+        r_k = a_k[s][ays, axs].astype(jnp.int32)
         r_vy = vy[r_k]
         r_vx = vx[r_k]
 
@@ -267,19 +319,28 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
         med = vals[_MED_SAMPLES // 2, jnp.arange(max_rays)]
         med = jnp.where(valid_r, med, _INF)
 
-        # medians back onto their (unique) anchor pixels, then re-march
-        med_map = jnp.full(h * w + 1, _INF, jnp.float32)
+        # medians back onto their (unique) anchor pixels
+        mm = jnp.full(h * w + 1, _INF, jnp.float32)
         med_idx = jnp.where(valid_r, ays * w + axs, h * w)
-        med_map = med_map.at[med_idx].min(med, unique_indices=False)
-        med_map = med_map[: h * w].reshape(h, w)
+        mm = mm.at[med_idx].min(med, unique_indices=False)
+        med_map[s] = mm[: h * w].reshape(h, w)
 
-        res = jnp.minimum(swt[s], med_map)  # clamp covers the anchor too
-        for k, (is_anchor, _, un) in enumerate(anchors[s]):
-            m = jnp.where(is_anchor, med_map, _INF)
-            u_ = jnp.where(is_anchor & (m < _INF), un, 0)
-            res = _commit_march(res, m, u_, k, jnp.max(u_))
-        out[s] = res
-    return out[-1], out[1]
+    # clamp covers the anchor itself; ray cells get the median through a
+    # second chain that pulls med_map from the upstream anchor (both
+    # signs' payloads ride one chain pair per class)
+    res = {s: jnp.minimum(swt[s], med_map[s]) for s in (-1, 1)}
+    for k in range(_NDIR // 2):
+        pls = (med_map[-1], med_map[1])
+        ch_k = _first_edge_along(edge_cls, k, t_units(k), payloads=pls)
+        ch_o = _first_edge_along(edge_cls, k + _NDIR // 2, t_units(k),
+                                 payloads=pls)
+        for kk, down, up in ((k, ch_k, ch_o), (k + _NDIR // 2, ch_o, ch_k)):
+            for si, s in enumerate((-1, 1)):
+                contrib, _, _ = _class_commit(
+                    kk, s, down, up, edge_cls, is_edge, t_units(kk), opposing,
+                    payload_up=up[4 + si], payload_anchor=med_map[s])
+                res[s] = jnp.minimum(res[s], contrib)
+    return res[-1], res[1]
 
 
 # --------------------------------------------------------------------------
