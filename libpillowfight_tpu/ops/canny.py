@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 
 from ..core import constants as C
-from ..core.bitmap import ensure_batched, gray_to_rgba, maybe_unbatch, rgba_to_gray
+from ..core.bitmap import (
+    ensure_batched,
+    gray_to_rgba,
+    maybe_unbatch,
+    normalize,
+    rgba_to_gray,
+)
 from .gaussian import gaussian_on_matrix
 from .morph import flood_reach
 from .sobel import sobel_on_matrix
@@ -47,12 +53,21 @@ def _nms(intensity: jax.Array, direction: jax.Array) -> jax.Array:
 
 
 def canny_edge_mask(gray: jax.Array) -> jax.Array:
-    """f32 gray [B,H,W] -> bool edge mask [B,H,W]. Shared with SWT."""
+    """f32 gray [B,H,W] -> bool edge mask [B,H,W]. Shared with SWT.
+
+    NMS compares the intensity NORMALIZED to [0,255] and rounded to the
+    integer grid (ref: the C library runs canny on normalized u8-scale
+    matrices, SURVEY.md §2.2). Shared spec with the oracle: integer
+    compares behave identically in f32 and f64, so ridge ties break the
+    same way on both sides — without this the smooth gaussian gradient
+    produces f32 false ties and systematically double-width TPU ridges.
+    """
     smoothed = gaussian_on_matrix(
         gray, C.CANNY_GAUSSIAN_SIGMA, C.CANNY_GAUSSIAN_NB_STDDEV
     )
     grad = sobel_on_matrix(smoothed)
-    nms = _nms(grad.intensity, grad.direction)
+    inten_q = jnp.round(normalize(grad.intensity))
+    nms = _nms(inten_q, grad.direction)
     peak = jnp.max(nms, axis=(-2, -1), keepdims=True)
     # strict > 0 guard: a flat page (peak == 0) has no edges at all
     strong = (nms >= peak * C.CANNY_HIGH_THRESHOLD_FRACTION) & (nms > 0.0)

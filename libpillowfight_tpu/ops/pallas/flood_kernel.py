@@ -78,17 +78,30 @@ def _shift_up(x, s):
     return jnp.concatenate([x[s:], jnp.zeros((s,) + x.shape[1:], x.dtype)], 0)
 
 
-def _seg_or_doubling(r, m, axis, n):
+def _seg_or_doubling(r, m, axis, n, unroll_lanes=False):
     """Segmented OR along `axis` (length n): r[i] |= any r within i's
     contiguous mask run. log2(n) doubling steps, both directions.
     r/m int32 0/1.
 
-    axis 1 (lanes): fori_loop with dynamic rotates — a handful of live
-    VMEM buffers instead of an unrolled 12-step chain (VMEM stack OOM).
+    axis 1 (lanes): fori_loop with dynamic rotates by default — a
+    handful of live VMEM buffers instead of an unrolled 12-step chain
+    (VMEM stack OOM on some shapes); unroll_lanes=True emits static
+    rotates instead (faster when the stack fits).
     axis 0 (sublanes): unrolled static concat-shifts — Mosaic's
     dynamic_rotate only supports the lane dimension."""
     n_steps = max(1, int(np.ceil(np.log2(n))))
     if axis == 1:
+        if unroll_lanes:
+            a_f = m
+            a_b = m
+            s = 1
+            while s < n:
+                r = r | (a_f & _roll_fwd(r, s, axis)) | (a_b & _roll_bwd(r, s, axis))
+                a_f = a_f & _roll_fwd(a_f, s, axis)
+                a_b = a_b & _roll_bwd(a_b, s, axis)
+                s *= 2
+            return r & m
+
         def step(k, carry):
             r, a_f, a_b = carry
             s = jnp.int32(1) << k

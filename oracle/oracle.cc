@@ -128,6 +128,18 @@ std::vector<uint8_t> canny_edges(const Mat& gray) {
                               PFT_CANNY_GAUSSIAN_NB_STDDEV);
   Grad gr = sobel_on_matrix(sm);
   int h = gray.h, w = gray.w;
+  // Shared spec with the TPU kernel (ops/canny.py): NMS compares the
+  // intensity normalized to [0,255] and rounded to the integer grid, so
+  // ridge ties break identically in f32 (TPU) and f64 (here).
+  double imn = 1e300, imx = -1e300;
+  for (double e : gr.intensity.v) {
+    imn = std::min(imn, e);
+    imx = std::max(imx, e);
+  }
+  double ispan = std::max(imx - imn, 1e-12);
+  Mat iq(h, w);
+  for (size_t i = 0; i < iq.v.size(); i++)
+    iq.v[i] = std::nearbyint((gr.intensity.v[i] - imn) * 255.0 / ispan);
   // NMS, 4-bin quantization identical to the TPU kernel (ops/canny.py)
   Mat nms(h, w);
   const int dy_a[4] = {0, -1, -1, -1}, dx_a[4] = {1, 1, 0, -1};
@@ -136,9 +148,9 @@ std::vector<uint8_t> canny_edges(const Mat& gray) {
       double theta = std::fmod(gr.direction.at(y, x), M_PI);
       if (theta < 0) theta += M_PI;
       int bin = ((int)std::nearbyint(theta / (M_PI / 4))) % 4;
-      double a = gr.intensity.get0(y + dy_a[bin], x + dx_a[bin]);
-      double b = gr.intensity.get0(y - dy_a[bin], x - dx_a[bin]);
-      double i0 = gr.intensity.at(y, x);
+      double a = iq.get0(y + dy_a[bin], x + dx_a[bin]);
+      double b = iq.get0(y - dy_a[bin], x - dx_a[bin]);
+      double i0 = iq.at(y, x);
       nms.at(y, x) = (i0 >= a && i0 >= b) ? i0 : 0.0;
     }
   double peak = 0;

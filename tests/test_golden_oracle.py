@@ -54,18 +54,12 @@ def test_canny_vs_oracle(rng):
     page = _scanlike(rng)
     want = oracle.canny(page)[..., 0] > 0
     got = np.asarray(canny(jnp.asarray(page)))[..., 0] > 0
-    # Edge maps are discrete decisions: borderline NMS ties flip between
-    # f32 (TPU) and f64 (oracle) and propagate via hysteresis. Standard
-    # edge-parity metric: 1-px localization tolerance both ways + matched
-    # total edge mass.
-    import scipy.ndimage
-
-    dil_want = scipy.ndimage.binary_dilation(want, np.ones((3, 3), bool))
-    dil_got = scipy.ndimage.binary_dilation(got, np.ones((3, 3), bool))
-    stray_got = (got & ~dil_want).mean()
-    stray_want = (want & ~dil_got).mean()
-    assert stray_got < 0.001 and stray_want < 0.001, (stray_got, stray_want)
-    assert abs(int(got.sum()) - int(want.sum())) <= max(0.15 * want.sum(), 150)
+    # NMS runs on the normalized integer intensity grid on both sides,
+    # so edge decisions are precision-independent: near-exact parity.
+    # The 0.1% allowance covers the rare pixel whose normalized
+    # intensity sits within f32 error of a .5 rounding boundary.
+    ndiff = int((got != want).sum())
+    assert ndiff <= max(0.001 * want.sum(), 2), (ndiff, int(want.sum()))
 
 
 def test_ace_vs_oracle_identical_samples(rng, page):
