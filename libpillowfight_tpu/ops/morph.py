@@ -420,6 +420,14 @@ def small_cluster_mask(mask: jax.Array, k: int, connectivity: int = 8) -> jax.Ar
     """
     assert connectivity == 8, "noisefilter clusters are 8-connected"
     mask = mask.astype(bool)
+    if k <= 15 and _use_pallas_flood():
+        # the XLA formulation below materializes its shifted word planes
+        # in HBM (~15 GB of temporaries at A4 x 8 — the round-2 bench
+        # OOM); the Pallas band kernel keeps every board in VMEM and
+        # moves exactly 2 int8 B/px of HBM traffic
+        from .pallas.noise_kernel import small_cluster_mask_pallas
+
+        return small_cluster_mask_pallas(mask, k)
     s = 2 * k + 1
     nb = s * s
     nw = (nb + 31) // 32

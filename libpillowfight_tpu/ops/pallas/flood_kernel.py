@@ -1,29 +1,38 @@
 """Pallas TPU kernels: flood-fill / hysteresis / CC-label propagation.
 
 Ref: the reference's BFS flood fills (canny.c hysteresis, blackfilter.c,
-noisefilter.c) and swt.c's component merge (SURVEY.md §3.2-§3.4). The XLA
-path (ops/morph.py) runs two segmented associative scans + a dilation per
-round — ~44 materialized HBM sweeps per round at page scale. These
-kernels do one full round (segmented OR/MIN along rows AND columns by
-log-shift doubling, plus the gated 8-neighbor dilation) on a VMEM band:
+noisefilter.c) and swt.c's component merge (SURVEY.md sections 3.2-3.4).
+The XLA path (ops/morph.py) runs two segmented associative scans + a
+dilation per round -- ~44 materialized HBM sweeps per round at page
+scale. These kernels do one full round (segmented OR/MIN along rows AND
+columns by log-shift doubling, plus the gated dilation) on a VMEM band:
 one HBM sweep per band pass.
 
 Cross-band propagation rides the TPU's *sequential grid*: a sweep walks
-the bands top-to-bottom carrying the previous band's last result row in a
+the bands top-to-bottom carrying the previous band's trailing rows in a
 VMEM scratch ("arbitrary" grid dims execute in order on TPU), then a
-second sweep walks bottom-to-top. Information therefore crosses the WHOLE
-page in one down+up pair — the number of fixed-point rounds is set by the
-number of snake turns in the most winding connected path (1-2 for scanned
-documents), not by page height / band count. Stale opposite-side halos
-are also consumed; that is sound because both recurrences are monotone
-(reach only grows, labels only shrink), so a stale value can only
-under-propagate, never corrupt, and the outer while_loop runs to the
-exact fixed point.
+second sweep walks bottom-to-up. Information therefore crosses the WHOLE
+page in one down+up pair -- the number of fixed-point rounds is set by
+the number of snake turns in the most winding connected path (1-2 for
+scanned documents), not by page height / band count.
+
+Traffic design (round-3 rewrite; the previous kernel read 7 planes per
+sweep via prev/cur/next neighbor blocks and compared full planes for
+convergence, which OOMed the fused 6-filter pipeline at bench scale):
+  * each sweep reads ONLY the current band of mask + state -- the
+    cross-band halo comes exclusively from the carry scratch (both the
+    mask rows and the state rows of the halo are carried);
+  * the state plane is updated IN PLACE (input_output_aliases), so the
+    flood adds no extra full plane to the caller's live set;
+  * convergence is detected from a per-band changed-pixel count (a tiny
+    [B, n_tiles] int32 output) -- no full-plane compare per round.
+One down+up pair therefore moves ~4 plane-reads + 2 plane-writes of int8
+per round; blackfilter floods on scan pages converge in 2-3 rounds.
 
 dtype: reach is int8 in HBM (4x less traffic than int32), widened to
-int32 in VMEM — Mosaic's dynamic_rotate only supports 32-bit lanes.
-Band height adapts to page width so the kernel's scoped-VMEM stack stays
-under the 16 MiB limit (64 rows x 2560 lanes measured to fit).
+int32 in VMEM -- Mosaic's dynamic_rotate only supports 32-bit lanes.
+Band height adapts to page width so the kernel's VMEM working set stays
+small (64 rows x 2560 lanes measured to fit comfortably).
 """
 
 from __future__ import annotations
@@ -46,7 +55,7 @@ def _tile_h(h: int, wp: int) -> int:
     return max(32, min(((_TILE_CELLS // wp) // 32) * 32, ((h + 31) // 32) * 32))
 
 
-# NOTE: propagation state is int32 (0/1 for flood) inside the kernel —
+# NOTE: propagation state is int32 (0/1 for flood) inside the kernel --
 # Mosaic's tpu.dynamic_rotate supports only 32-bit element vectors (i1
 # and i8 rejected); &,| are bitwise on 0/1 values.
 
@@ -68,7 +77,7 @@ def _roll_bwd(x, s, axis):
 
 
 def _shift_down(x, s):
-    """value at row i-s (rows move down); zero filled. Static s —
+    """value at row i-s (rows move down); zero filled. Static s --
     tpu.dynamic_rotate cannot rotate the sublane axis."""
     return jnp.concatenate([jnp.zeros((s,) + x.shape[1:], x.dtype), x[:-s]], 0)
 
@@ -83,11 +92,11 @@ def _seg_or_doubling(r, m, axis, n, unroll_lanes=False):
     contiguous mask run. log2(n) doubling steps, both directions.
     r/m int32 0/1.
 
-    axis 1 (lanes): fori_loop with dynamic rotates by default — a
+    axis 1 (lanes): fori_loop with dynamic rotates by default -- a
     handful of live VMEM buffers instead of an unrolled 12-step chain
     (VMEM stack OOM on some shapes); unroll_lanes=True emits static
     rotates instead (faster when the stack fits).
-    axis 0 (sublanes): unrolled static concat-shifts — Mosaic's
+    axis 0 (sublanes): unrolled static concat-shifts -- Mosaic's
     dynamic_rotate only supports the lane dimension."""
     n_steps = max(1, int(np.ceil(np.log2(n))))
     if axis == 1:
@@ -141,62 +150,51 @@ def _dilate_cheb(r, k):
     return r
 
 
-def _flood_sweep_kernel(mp_ref, mc_ref, mn_ref, rp_ref, rc_ref, rn_ref,
-                        out_ref, carry_ref, *, tile_h, width, n_tiles,
-                        inner_rounds, down, leap):
+# ------------------------------------------------------------------ reach
+
+def _flood_sweep_kernel(m_ref, r_ref, out_ref, chg_ref, carry_ref, *,
+                        tile_h, width, n_tiles, inner_rounds, down, leap):
+    """One band step of a directional flood sweep.
+
+    carry scratch holds [2, hr, W] int32: the mask rows and the freshly
+    computed reach rows of the side of the band processed just before
+    this one (bottom rows on a down sweep, top rows on an up sweep)."""
     i = pl.program_id(1)
     j = i if down else n_tiles - 1 - i  # actual band index
     hr = leap  # halo rows: the dilation reaches `leap` rows across bands
+    first = (j == 0) if down else (j == n_tiles - 1)
+
+    m_band = m_ref[0].astype(jnp.int32)            # [tile_h, W]
+    r_in = r_ref[0].astype(jnp.int32) & m_band
     zero_rows = jnp.zeros((hr, width), jnp.int32)
+    halo_m = jnp.where(first, zero_rows, carry_ref[0])
+    halo_r = jnp.where(first, zero_rows, carry_ref[1])
 
-    def band(prev, cur, nxt):
-        top = jnp.where(j == 0, zero_rows,
-                        prev[0, tile_h - hr :, :].astype(jnp.int32))
-        bot = jnp.where(j == n_tiles - 1, zero_rows,
-                        nxt[0, :hr, :].astype(jnp.int32))
-        mid = cur[0].astype(jnp.int32)
-        return jnp.concatenate([top, mid, bot], axis=0)  # [tile_h+2hr, W]
-
-    m = band(mp_ref, mc_ref, mn_ref)
-    r = band(rp_ref, rc_ref, rn_ref) & m
-
-    # fresh halo rows carried from the band processed just before this one
-    carry = carry_ref[...].astype(jnp.int32)
     if down:
-        fresh_top = jnp.where(j == 0, zero_rows, carry) & m[:hr]
-        r = jnp.concatenate([r[:hr] | fresh_top, r[hr:]], axis=0)
+        m = jnp.concatenate([halo_m, m_band], axis=0)   # [tile_h+hr, W]
+        r = jnp.concatenate([halo_r, r_in], axis=0)
     else:
-        fresh_bot = jnp.where(j == n_tiles - 1, zero_rows, carry) & m[-hr:]
-        r = jnp.concatenate([r[:-hr], r[-hr:] | fresh_bot], axis=0)
+        m = jnp.concatenate([m_band, halo_m], axis=0)
+        r = jnp.concatenate([r_in, halo_r], axis=0)
 
     for _ in range(inner_rounds):
         r = _seg_or_doubling(r, m, 1, width)
-        r = _seg_or_doubling(r, m, 0, tile_h + 2 * hr)
+        r = _seg_or_doubling(r, m, 0, tile_h + hr)
         r = _dilate_cheb(r, leap) & m
 
-    out_ref[0] = r[hr : hr + tile_h, :].astype(jnp.int8)
-    carry_ref[...] = (r[tile_h : tile_h + hr, :] if down
-                      else r[hr : 2 * hr, :])
-
-
-def _band_specs(n_tiles, tile_h, wp, down):
-    """prev/cur/next block specs for a (possibly reversed) band walk."""
-    def at(fn):
-        return pl.BlockSpec((1, tile_h, wp), fn, memory_space=pltpu.VMEM)
-
+    r_new = r[hr:, :] if down else r[:tile_h, :]
+    out_ref[0] = r_new.astype(jnp.int8)
+    chg_ref[pl.program_id(0), i] = jnp.sum((r_new != r_in).astype(jnp.int32))
     if down:
-        jmap = lambda i: i
+        carry_ref[0] = m_band[tile_h - hr :, :]
+        carry_ref[1] = r_new[tile_h - hr :, :]
     else:
-        jmap = lambda i: n_tiles - 1 - i
-    prev = at(lambda bb, i: (bb, jnp.maximum(jmap(i) - 1, 0), 0))
-    cur = at(lambda bb, i: (bb, jmap(i), 0))
-    nxt = at(lambda bb, i: (bb, jnp.minimum(jmap(i) + 1, n_tiles - 1), 0))
-    return prev, cur, nxt
+        carry_ref[0] = m_band[:hr, :]
+        carry_ref[1] = r_new[:hr, :]
 
 
 def _pad_bands(arrs, h, w, fills):
     """Pad [B,H,W] arrays to (band-multiple, 128-multiple) shapes."""
-    wp = h_pad = None
     out = []
     pw = -w % 128
     tile_h = _tile_h(h, w + pw)
@@ -209,12 +207,15 @@ def _pad_bands(arrs, h, w, fills):
 
 
 @functools.partial(jax.jit, static_argnames=("inner_rounds", "interpret",
-                                             "down", "leap"))
+                                             "down", "leap"),
+                   donate_argnames=("reach",))
 def _flood_sweep(reach: jax.Array, mask: jax.Array, down: bool,
                  inner_rounds: int = 1, interpret: bool = False,
-                 leap: int = 1) -> jax.Array:
+                 leap: int = 1):
     """One sequential band sweep (top-down or bottom-up) of the flood
-    round. reach/mask int8 [B, H, W] (0/1), already band-padded."""
+    round. reach/mask int8 [B, H, W] (0/1), already band-padded. The
+    reach plane is updated in place (donated + aliased); also returns a
+    [B, n_tiles] int32 changed-pixel count."""
     b, hp, wp = reach.shape
     tile_h = _tile_h(hp, wp)
     n_tiles = hp // tile_h
@@ -224,18 +225,24 @@ def _flood_sweep(reach: jax.Array, mask: jax.Array, down: bool,
         _flood_sweep_kernel, tile_h=tile_h, width=wp, n_tiles=n_tiles,
         inner_rounds=inner_rounds, down=down, leap=leap,
     )
-    prev, cur, nxt = _band_specs(n_tiles, tile_h, wp, down)
+    jmap = (lambda bb, i: (bb, i, 0)) if down else (
+        lambda bb, i: (bb, n_tiles - 1 - i, 0))
+    band = pl.BlockSpec((1, tile_h, wp), jmap, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
-        in_specs=[prev, cur, nxt, prev, cur, nxt],
-        out_specs=cur,
-        out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((leap, wp), jnp.int32)],
+        in_specs=[band, band],
+        out_specs=(band,
+                   pl.BlockSpec((b, n_tiles), lambda bb, i: (0, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, hp, wp), jnp.int8),
+                   jax.ShapeDtypeStruct((b, n_tiles), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((2, leap, wp), jnp.int32)],
+        input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(mask, mask, mask, reach, reach, reach)
+    )(mask, reach)
 
 
 def flood_reach_pallas(seeds: jax.Array, mask: jax.Array,
@@ -244,26 +251,29 @@ def flood_reach_pallas(seeds: jax.Array, mask: jax.Array,
     """Exact fixed-point flood (8-connectivity; mask pixels within
     Chebyshev distance `leap` are connected). seeds/mask bool [B,H,W]
     -> bool [B,H,W]. Each round = one down + one up band sweep (2 HBM
-    passes); rounds converge in O(snake turns), not O(page height)."""
+    passes, state updated in place); rounds converge in O(snake turns),
+    not O(page height)."""
     b, h, w = mask.shape
     m8 = mask.astype(jnp.int8)
     r0 = (seeds.astype(bool) & mask.astype(bool)).astype(jnp.int8)
     (m8, r0), hp, wp, _ = _pad_bands([m8, r0], h, w, [0, 0])
 
     def round_(r):
-        r = _flood_sweep(r, m8, down=True, interpret=interpret, leap=leap)
-        return _flood_sweep(r, m8, down=False, interpret=interpret, leap=leap)
+        r, c1 = _flood_sweep(r, m8, down=True, interpret=interpret, leap=leap)
+        r, c2 = _flood_sweep(r, m8, down=False, interpret=interpret, leap=leap)
+        return r, jnp.sum(c1) + jnp.sum(c2)
 
     def cond(state):
         _, changed, it = state
-        return changed & (it < max_iters)
+        return (changed > 0) & (it < max_iters)
 
     def body(state):
         r, _, it = state
-        r2 = round_(r)
-        return r2, jnp.any(r2 != r), it + 1
+        r2, ch = round_(r)
+        return r2, ch, it + 1
 
-    r, _, _ = jax.lax.while_loop(cond, body, (round_(r0), jnp.bool_(True), 1))
+    r0, ch0 = round_(r0)
+    r, _, _ = jax.lax.while_loop(cond, body, (r0, ch0, 1))
     return r[:, :h, :w].astype(bool)
 
 
@@ -331,52 +341,53 @@ def _neighbor_min8(lab, big):
                                       _shift_up_i(h, 1, big)))
 
 
-def _label_sweep_kernel(mp_ref, mc_ref, mn_ref, lp_ref, lc_ref, ln_ref,
-                        out_ref, carry_ref, *, tile_h, width, n_tiles,
-                        inner_rounds, big, down):
+def _label_sweep_kernel(m_ref, l_ref, out_ref, chg_ref, carry_ref, *,
+                        tile_h, width, n_tiles, inner_rounds, big, down):
+    """One band step of directional min-label propagation. carry scratch
+    [2, 1, W] int32: mask row + freshly computed label row of the
+    trailing side of the band processed just before this one."""
     i = pl.program_id(1)
     j = i if down else n_tiles - 1 - i
+    first = (j == 0) if down else (j == n_tiles - 1)
 
-    def band(prev, cur, nxt, fill):
-        frow = jnp.full((1, width), fill, jnp.int32)
-        top = jnp.where(j == 0, frow,
-                        prev[0, tile_h - 1 :, :].astype(jnp.int32))
-        bot = jnp.where(j == n_tiles - 1, frow,
-                        nxt[0, :1, :].astype(jnp.int32))
-        return jnp.concatenate([top, cur[0].astype(jnp.int32), bot], axis=0)
+    m_band = m_ref[0].astype(jnp.int32)
+    l_in = jnp.where(m_band != 0, l_ref[0], big)
+    zrow = jnp.zeros((1, width), jnp.int32)
+    brow = jnp.full((1, width), big, jnp.int32)
+    halo_m = jnp.where(first, zrow, carry_ref[0])
+    halo_l = jnp.where(first, brow, carry_ref[1])
 
-    m = band(mp_ref, mc_ref, mn_ref, 0)
-    lab = jnp.where(m != 0, band(lp_ref, lc_ref, ln_ref, big), big)
-
-    carry = carry_ref[...]
-    bigrow = jnp.full((1, width), big, jnp.int32)
     if down:
-        fresh = jnp.where(j == 0, bigrow, carry)
-        lab = jnp.concatenate(
-            [jnp.where(m[:1] != 0, jnp.minimum(lab[:1], fresh), big),
-             lab[1:]], axis=0)
+        m = jnp.concatenate([halo_m, m_band], axis=0)
+        lab = jnp.concatenate([halo_l, l_in], axis=0)
     else:
-        fresh = jnp.where(j == n_tiles - 1, bigrow, carry)
-        lab = jnp.concatenate(
-            [lab[:-1],
-             jnp.where(m[-1:] != 0, jnp.minimum(lab[-1:], fresh), big)],
-            axis=0)
+        m = jnp.concatenate([m_band, halo_m], axis=0)
+        lab = jnp.concatenate([l_in, halo_l], axis=0)
 
     for _ in range(inner_rounds):
         lab = _seg_min_doubling(lab, m, 1, width, big)
-        lab = _seg_min_doubling(lab, m, 0, tile_h + 2, big)
+        lab = _seg_min_doubling(lab, m, 0, tile_h + 1, big)
         lab = jnp.where(m != 0, _neighbor_min8(lab, big), big)
 
-    out_ref[0] = lab[1 : 1 + tile_h, :]
-    carry_ref[...] = lab[tile_h : tile_h + 1, :] if down else lab[1:2, :]
+    l_new = lab[1:, :] if down else lab[:tile_h, :]
+    out_ref[0] = l_new
+    chg_ref[pl.program_id(0), i] = jnp.sum((l_new != l_in).astype(jnp.int32))
+    if down:
+        carry_ref[0] = m_band[tile_h - 1 :, :]
+        carry_ref[1] = l_new[tile_h - 1 :, :]
+    else:
+        carry_ref[0] = m_band[:1, :]
+        carry_ref[1] = l_new[:1, :]
 
 
 @functools.partial(jax.jit, static_argnames=("inner_rounds", "interpret",
-                                             "down", "big"))
+                                             "down", "big"),
+                   donate_argnames=("labels",))
 def _label_sweep(labels: jax.Array, mask: jax.Array, down: bool, big: int,
-                 inner_rounds: int = 1, interpret: bool = False) -> jax.Array:
+                 inner_rounds: int = 1, interpret: bool = False):
     """One sequential band sweep of min-label propagation. labels int32
-    [B,H,W] (background = big), mask int8, already band-padded."""
+    [B,H,W] (background = big), mask int8, already band-padded. Labels
+    updated in place; also returns a [B, n_tiles] changed count."""
     b, hp, wp = labels.shape
     tile_h = _tile_h(hp, wp)
     n_tiles = hp // tile_h
@@ -385,18 +396,24 @@ def _label_sweep(labels: jax.Array, mask: jax.Array, down: bool, big: int,
         _label_sweep_kernel, tile_h=tile_h, width=wp, n_tiles=n_tiles,
         inner_rounds=inner_rounds, big=big, down=down,
     )
-    prev, cur, nxt = _band_specs(n_tiles, tile_h, wp, down)
+    jmap = (lambda bb, i: (bb, i, 0)) if down else (
+        lambda bb, i: (bb, n_tiles - 1 - i, 0))
+    band = pl.BlockSpec((1, tile_h, wp), jmap, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
-        in_specs=[prev, cur, nxt, prev, cur, nxt],
-        out_specs=cur,
-        out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, wp), jnp.int32)],
+        in_specs=[band, band],
+        out_specs=(band,
+                   pl.BlockSpec((b, n_tiles), lambda bb, i: (0, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, hp, wp), jnp.int32),
+                   jax.ShapeDtypeStruct((b, n_tiles), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((2, 1, wp), jnp.int32)],
+        input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(mask, mask, mask, labels, labels, labels)
+    )(mask, labels)
 
 
 def label_components_pallas(mask: jax.Array, max_iters: int = 256,
@@ -415,18 +432,21 @@ def label_components_pallas(mask: jax.Array, max_iters: int = 256,
     (m8, lab0), hp, wp, _ = _pad_bands([m8, lab0], h, w, [0, big])
 
     def round_(lab):
-        lab = _label_sweep(lab, m8, down=True, big=big, interpret=interpret)
-        return _label_sweep(lab, m8, down=False, big=big, interpret=interpret)
+        lab, c1 = _label_sweep(lab, m8, down=True, big=big,
+                               interpret=interpret)
+        lab, c2 = _label_sweep(lab, m8, down=False, big=big,
+                               interpret=interpret)
+        return lab, jnp.sum(c1) + jnp.sum(c2)
 
     def cond(state):
         _, changed, it = state
-        return changed & (it < max_iters)
+        return (changed > 0) & (it < max_iters)
 
     def body(state):
         lab, _, it = state
-        lab2 = round_(lab)
-        return lab2, jnp.any(lab2 != lab), it + 1
+        lab2, ch = round_(lab)
+        return lab2, ch, it + 1
 
-    lab, _, _ = jax.lax.while_loop(cond, body,
-                                   (round_(lab0), jnp.bool_(True), 1))
+    lab0, ch0 = round_(lab0)
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab0, ch0, 1))
     return lab[:, :h, :w]

@@ -1,0 +1,206 @@
+"""Pallas TPU kernel: noisefilter bounded-flood ball count.
+
+Ref: the reference noisefilter's per-pixel bounded flood count
+(src/pillowfight/noisefilter.c — SURVEY.md §2.2): erase every
+8-connected cluster of <= k non-white pixels.
+
+Algorithm (same bitboard formulation as morph.small_cluster_mask):
+each pixel p carries a (2k+1)^2-bit board over window offsets; bit
+(dy+k)*(2k+1)+(dx+k) of the reach board means "p+(dy,dx) is reachable
+from p within j steps through the mask". k bit-parallel dilation steps
+compute the exact graph-ball size |B_k(p)|, and
+    |cluster(p)| <= k  <=>  |B_k(p)| <= k.
+Crucially the dilation is *per-pixel bit-plane arithmetic*: once the
+window bitboards are built, no spatial communication happens at all.
+
+Why a Pallas kernel: the XLA formulation materializes every shifted
+uint32 word plane in HBM — measured 14.9 GB of temporaries at A4 x 8
+(the round-2 bench OOM). Here each band's boards live in VMEM; HBM
+traffic is exactly one int8 mask read + one int8 result write per pixel.
+
+Banding: a pixel's result needs mask rows within +-k. A single top-down
+sweep carries the previous band's trailing 2k mask rows in a VMEM
+scratch ("arbitrary" grid dims run in order on TPU), and each band
+writes its results lagged by 2k rows: band j's VMEM holds mask_in rows
+[j*th - 2k, (j+1)*th), which fully covers the +-k windows of original
+rows [j*th - 2k, (j+1)*th - 2k). The caller pads the mask with k zero
+rows on top and slices the output back by 2k.
+
+Per-step bit-plane dilation is separable: the union over the 8+1
+neighbor moves equals a horizontal +-1-bit pass then a vertical
++-s-bit pass (shifts compose before the &mask at step end), with
+constant per-word validity masks killing bits that alias across window
+rows. Popcount is branch-free SWAR (Mosaic has no population_count).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_CELLS = 48 * 2560  # keep ~15 live u32 band planes under the VMEM cap
+
+
+def _tile_h(h: int, wp: int, k: int) -> int:
+    th = max(32, min(((_TILE_CELLS // wp) // 32) * 32, ((h + 31) // 32) * 32))
+    return max(th, ((2 * k + 31) // 32) * 32)  # carry needs th >= 2k
+
+
+def _lane_shift(x, s):
+    """Value at lane i-s (s may be negative); zero filled. Static s."""
+    if s == 0:
+        return x
+    n = x.shape[-1]
+    r = pltpu.roll(x, s % n, axis=len(x.shape) - 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    keep = idx >= s if s > 0 else idx < n + s
+    return jnp.where(keep, r, jnp.zeros_like(r))
+
+
+def _popcount32(v):
+    """SWAR popcount of a uint32 plane -> int32 plane."""
+    u = jnp.uint32
+    v = v - ((v >> u(1)) & u(0x55555555))
+    v = (v & u(0x33333333)) + ((v >> u(2)) & u(0x33333333))
+    v = (v + (v >> u(4))) & u(0x0F0F0F0F)
+    v = (v * u(0x01010101)) >> u(24)
+    return v.astype(jnp.int32)
+
+
+def _board_consts(k: int):
+    """Static per-word constants for the (2k+1)^2-bit board."""
+    s = 2 * k + 1
+    nb = s * s
+    nw = (nb + 31) // 32
+
+    def mask_where(pred):
+        out = []
+        for w in range(nw):
+            m = 0
+            for bit in range(32):
+                b = w * 32 + bit
+                if b < nb and pred(b):
+                    m |= 1 << bit
+            out.append(np.uint32(m))
+        return out
+
+    board = mask_where(lambda b: True)
+    # after a +1 bit shift, a bit landing on dx=-k aliased from the
+    # previous window row; after -1, dx=+k aliased from the next row
+    val_p = mask_where(lambda b: b % s != 0)
+    val_m = mask_where(lambda b: b % s != s - 1)
+    return s, nb, nw, board, val_p, val_m
+
+
+def _shift_board(words, amt, nw, board):
+    """Shift an nw-word little-endian bitboard by `amt` bits (|amt|<32),
+    zero fill, then clip to valid board bits."""
+    u = jnp.uint32
+    out = []
+    a = amt if amt > 0 else -amt
+    for w in range(nw):
+        if amt > 0:
+            v = words[w] << u(a)
+            if w - 1 >= 0:
+                v = v | (words[w - 1] >> u(32 - a))
+        else:
+            v = words[w] >> u(a)
+            if w + 1 < nw:
+                v = v | (words[w + 1] << u(32 - a))
+        out.append(v & board[w])
+    return out
+
+
+def _noise_band_kernel(m_ref, out_ref, carry_ref, *, tile_h, width, k):
+    """One band of the ball-count sweep (top-down, outputs lagged 2k)."""
+    s, nb, nw, board, val_p, val_m = _board_consts(k)
+    u = jnp.uint32
+    i = pl.program_id(1)
+
+    m_band = m_ref[0].astype(jnp.uint32)  # [tile_h, W] 0/1
+    halo = jnp.where(i == 0, jnp.zeros((2 * k, width), jnp.uint32),
+                     carry_ref[:])
+    m_ext = jnp.concatenate([halo, m_band], axis=0)  # [tile_h+2k, W]
+
+    # horizontal 9-bit strips for every extended row:
+    # hstrip[r, x] bit (dx+k) = mask[r, x+dx]
+    hstrip = jnp.zeros_like(m_ext)
+    for dx in range(-k, k + 1):
+        hstrip = hstrip | (_lane_shift(m_ext, -dx) << u(dx + k))
+
+    # window boards per output pixel: insert row-d strip at bit d*s
+    m_words = [jnp.zeros((tile_h, width), jnp.uint32) for _ in range(nw)]
+    for d in range(s):
+        strip = hstrip[d : d + tile_h]
+        off = d * s
+        w, o = divmod(off, 32)
+        m_words[w] = m_words[w] | (strip << u(o))
+        if o + s > 32 and w + 1 < nw:
+            m_words[w + 1] = m_words[w + 1] | (strip >> u(32 - o))
+    m_words = [m_words[w] & board[w] for w in range(nw)]
+
+    # reach init: center bit where the pixel itself is mask
+    center = m_ext[k : k + tile_h]
+    cbit = k * s + k
+    cw, co = divmod(cbit, 32)
+    r = [jnp.where(center != 0, u(1 << co), u(0)) if w == cw
+         else jnp.zeros((tile_h, width), jnp.uint32) for w in range(nw)]
+
+    # k separable bit-plane dilation steps gated by the window mask
+    for _ in range(k):
+        shp = _shift_board(r, 1, nw, val_p)
+        shm = _shift_board(r, -1, nw, val_m)
+        t = [r[w] | shp[w] | shm[w] for w in range(nw)]
+        up = _shift_board(t, s, nw, board)
+        dn = _shift_board(t, -s, nw, board)
+        r = [(t[w] | up[w] | dn[w]) & m_words[w] for w in range(nw)]
+
+    size = _popcount32(r[0])
+    for w in range(1, nw):
+        size = size + _popcount32(r[w])
+    out_ref[0] = ((center != 0) & (size <= k)).astype(jnp.int8)
+    carry_ref[:] = m_band[tile_h - 2 * k :]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _noise_sweep(mask_in: jax.Array, k: int, interpret: bool = False):
+    b, hp, wp = mask_in.shape
+    th = _tile_h(hp, wp, k)
+    n_tiles = hp // th
+    kernel = functools.partial(_noise_band_kernel, tile_h=th, width=wp, k=k)
+    band = pl.BlockSpec((1, th, wp), lambda bb, i: (bb, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[band],
+        out_specs=band,
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((2 * k, wp), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(mask_in)
+
+
+def small_cluster_mask_pallas(mask: jax.Array, k: int,
+                              interpret: bool = False) -> jax.Array:
+    """Pixels whose 8-connected cluster has <= k members. bool [B,H,W].
+    Exact; one mask read + one result write of HBM traffic. k <= 15
+    (cross-word strip/shift constants assume 2k+1 < 32)."""
+    assert 1 <= k <= 15, k
+    mask = mask.astype(bool)
+    b, h, w = mask.shape
+    pw = -w % 128
+    th = _tile_h(h + 2 * k, w + pw, k)
+    hp = -(-(h + 2 * k) // th) * th
+    m_in = jnp.pad(mask.astype(jnp.int8),
+                   ((0, 0), (k, hp - h - k), (0, pw)))
+    out = _noise_sweep(m_in, k, interpret=interpret)
+    return out[:, 2 * k : 2 * k + h, :w].astype(bool)
