@@ -17,6 +17,13 @@ make -C native
 echo "== tests: full suite (CPU via tests/conftest.py) =="
 python -m pytest tests/ -q
 
+echo "== tests: on-TPU lane (skips itself when no TPU is attached) =="
+# Runs the Mosaic-compiled Pallas kernels, per-filter TPU-vs-CPU parity
+# at A4 shape, compile-time HBM budget guards, and one fused-chain
+# execution at the bench shape (A4 x 8). This lane exists because
+# round 2 shipped a green CPU suite alongside a bench-scale TPU OOM.
+python -m pytest tests_tpu/ -q
+
 if [[ "${1:-}" == "--bench" ]]; then
   echo "== bench: quick smoke =="
   python bench.py --quick

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import constants as C
 from ..core.bitmap import (
@@ -26,28 +27,40 @@ from ..core.bitmap import (
 )
 from .gaussian import gaussian_on_matrix
 from .morph import flood_reach
-from .sobel import sobel_on_matrix
+from .sobel import sobel_gradients
 
 
-def _nms(intensity: jax.Array, direction: jax.Array) -> jax.Array:
-    """Non-maximum suppression. intensity/direction f32 [B,H,W]."""
-    # Quantize gradient direction into 4 bins over [0, pi):
-    #   bin 0 ->  0 deg (gradient along x: compare W/E neighbors)
-    #   bin 1 -> 45 deg (compare NE/SW)   bin 2 -> 90 deg (compare N/S)
-    #   bin 3 -> 135 deg (compare NW/SE)
-    theta = jnp.mod(direction, jnp.pi)
-    bins = jnp.mod(jnp.round(theta / (jnp.pi / 4.0)).astype(jnp.int32), 4)
+def _nms(intensity: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
+    """Non-maximum suppression from the raw gradient pair. f32 [B,H,W].
+
+    The 4 direction bins over [0, pi) are round-half-even of
+    theta/(pi/4) (ref semantics: nearbyint(fmod(atan2(gy,gx), pi)/(pi/4))
+    % 4, oracle/oracle.cc:148-150), computed WITHOUT materializing the
+    atan2 plane: with ax=|gx|, ay=|gy| and half-even rounding,
+      bin 0 (compare W/E)   <=>  theta <= 22.5  or theta >= 157.5
+                            <=>  ay <= tan(22.5deg) * ax
+      bin 2 (compare N/S)   <=>  67.5 <= theta <= 112.5
+                            <=>  ay >= tan(67.5deg) * ax
+      else diagonal: bin 1 (NE/SW) when gx*gy > 0, bin 3 (NW/SE) when < 0
+    (gx*gy = 0 inside the diagonal band is impossible: gx=0 lands in bin
+    2, gy=0 in bin 0). Saves one full-page transcendental intermediate —
+    at batch 64 the atan2 plane alone is 2.2 GB."""
+    t1 = float(np.tan(np.pi / 8))
+    t2 = float(np.tan(3 * np.pi / 8))
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    bin0 = ay <= t1 * ax
+    bin2 = ay >= t2 * ax
+    diag_pos = gx * gy > 0.0
 
     z = jnp.pad(intensity, ((0, 0), (1, 1), (1, 1)))
 
     def shift(dy, dx):  # neighbor intensity, zero outside
         return z[:, 1 + dy : z.shape[1] - 1 + dy, 1 + dx : z.shape[2] - 1 + dx]
 
-    nbr_a = jnp.stack([shift(0, 1), shift(-1, 1), shift(-1, 0), shift(-1, -1)])
-    nbr_b = jnp.stack([shift(0, -1), shift(1, -1), shift(1, 0), shift(1, 1)])
-    sel = bins[None] == jnp.arange(4, dtype=jnp.int32)[:, None, None, None]
-    a = jnp.sum(jnp.where(sel, nbr_a, 0.0), axis=0)
-    b = jnp.sum(jnp.where(sel, nbr_b, 0.0), axis=0)
+    diag_a = jnp.where(diag_pos, shift(-1, 1), shift(-1, -1))
+    diag_b = jnp.where(diag_pos, shift(1, -1), shift(1, 1))
+    a = jnp.where(bin0, shift(0, 1), jnp.where(bin2, shift(-1, 0), diag_a))
+    b = jnp.where(bin0, shift(0, -1), jnp.where(bin2, shift(1, 0), diag_b))
     keep = (intensity >= a) & (intensity >= b)
     return jnp.where(keep, intensity, 0.0)
 
@@ -65,9 +78,9 @@ def canny_edge_mask(gray: jax.Array) -> jax.Array:
     smoothed = gaussian_on_matrix(
         gray, C.CANNY_GAUSSIAN_SIGMA, C.CANNY_GAUSSIAN_NB_STDDEV
     )
-    grad = sobel_on_matrix(smoothed)
-    inten_q = jnp.round(normalize(grad.intensity))
-    nms = _nms(inten_q, grad.direction)
+    gx, gy = sobel_gradients(smoothed)
+    inten_q = jnp.round(normalize(jnp.hypot(gx, gy)))
+    nms = _nms(inten_q, gx, gy)
     peak = jnp.max(nms, axis=(-2, -1), keepdims=True)
     # strict > 0 guard: a flat page (peak == 0) has no edges at all
     strong = (nms >= peak * C.CANNY_HIGH_THRESHOLD_FRACTION) & (nms > 0.0)

@@ -377,31 +377,6 @@ def label_components_links(valid: jax.Array, links: dict, max_iters: int = 4096
     return labels
 
 
-def small_component_mask(labels: jax.Array, mask: jax.Array,
-                         max_size: int) -> jax.Array:
-    """Pixels whose component has <= max_size members. Exact, scatter-free.
-
-    Replaces the component_sizes histogram (a scatter-add into H*W
-    buckets — pathologically slow on TPU) for threshold decisions with
-    small bounds: a component of n <= max_size pixels fits entirely
-    within Chebyshev distance max_size-1 of any member, and any
-    component with > max_size pixels has >= max_size+1 members within
-    graph distance max_size of every member (BFS layers are nonempty
-    until the component is exhausted). So counting same-label pixels in
-    a (2*max_size+1)^2 window decides the threshold exactly — pure
-    shifted compares, fully fused on the VPU.
-    """
-    labels = jnp.where(mask, labels, -1)
-    k = max_size
-    cnt = jnp.zeros(labels.shape, jnp.int32)
-    for dy in range(-k, k + 1):
-        for dx in range(-k, k + 1):
-            cnt = cnt + (
-                (_shift2d(labels, dy, dx, -2) == labels) & mask
-            ).astype(jnp.int32)
-    return mask & (cnt <= max_size)
-
-
 def small_cluster_mask(mask: jax.Array, k: int, connectivity: int = 8) -> jax.Array:
     """Pixels whose 8-connected cluster has <= k members. Exact, local,
     scan-free, loop-free — no global CC labeling.
@@ -519,15 +494,3 @@ def small_cluster_mask(mask: jax.Array, k: int, connectivity: int = 8) -> jax.Ar
     return mask & (size <= k)
 
 
-def component_sizes(labels: jax.Array) -> jax.Array:
-    """Per-pixel size of its component. labels int32 [B,H,W] from
-    label_components (background = H*W). Returns int32 [B,H,W] (0 for bg)."""
-    b, h, w = labels.shape
-    flat = labels.reshape(b, h * w)
-    ones = jnp.ones_like(flat, jnp.int32)
-    # one scatter-add bucket per possible label (= flat pixel index) + bg slot
-    counts = jax.vmap(
-        lambda l, o: jnp.zeros(h * w + 1, jnp.int32).at[l].add(o)
-    )(flat, ones)
-    per_pixel = jax.vmap(jnp.take)(counts, flat).reshape(b, h, w)
-    return jnp.where(labels < h * w, per_pixel, 0)

@@ -23,10 +23,17 @@ class GradientMatrixes(NamedTuple):
     direction: jax.Array  # f32 [B,H,W], atan2(gy, gx) in [-pi, pi]
 
 
-def sobel_on_matrix(gray: jax.Array) -> GradientMatrixes:
+def sobel_gradients(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Raw (gx, gy) gradient pair. Canny consumes this directly — its
+    4-bin NMS direction falls out of sign/ratio compares on (gx, gy), so
+    the atan2 direction plane (a full-page transcendental intermediate)
+    is only materialized for SWT, which needs the unit vector."""
     # correlation: gradient points from dark toward light
-    gx = correlate2d(gray, SOBEL_GX)
-    gy = correlate2d(gray, SOBEL_GY)
+    return correlate2d(gray, SOBEL_GX), correlate2d(gray, SOBEL_GY)
+
+
+def sobel_on_matrix(gray: jax.Array) -> GradientMatrixes:
+    gx, gy = sobel_gradients(gray)
     return GradientMatrixes(jnp.hypot(gx, gy), jnp.arctan2(gy, gx))
 
 

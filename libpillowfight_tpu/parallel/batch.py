@@ -23,6 +23,28 @@ from .mesh import make_mesh, shard_pages
 from .pipeline import compile_pipeline, normalize_spec
 
 
+def map_chunked(fn, pages: jax.Array, chunk: int) -> jax.Array:
+    """Apply fn over the batch axis in device-resident chunks of `chunk`
+    pages, inside one jittable computation (lax.map over the chunk axis).
+
+    Bounds peak HBM by the per-chunk live set instead of the whole
+    batch's: a 64-page A4 canny holds ~6 full-res f32 planes (13+ GB at
+    batch 64, an OOM on one v5e chip) but streams fine 16 pages at a
+    time. Filters here are bandwidth-bound, so chunks big enough to fill
+    the VPU (>= ~8 A4 pages) cost no throughput.
+
+    The batch must divide evenly into chunks (pad the tail upstream —
+    BatchRunner already chunks its manifest this way)."""
+    b = pages.shape[0]
+    if b <= chunk:
+        return fn(pages)
+    if b % chunk:
+        raise ValueError(f"batch {b} not divisible by chunk {chunk}")
+    folded = pages.reshape((b // chunk, chunk) + pages.shape[1:])
+    out = jax.lax.map(fn, folded)
+    return out.reshape((b,) + out.shape[2:])
+
+
 @dataclass
 class BatchMetrics:
     pages: int = 0

@@ -70,17 +70,6 @@ def test_label_components_matches_scipy(rng):
         assert len(set(reps)) == n
 
 
-def test_component_sizes(rng):
-    mask = _random_blobs(rng, p=0.3)
-    labels = morph.label_components(jnp.asarray(mask)[None], connectivity=8)
-    sizes = np.asarray(morph.component_sizes(labels)[0])
-    want_labels, n = scipy.ndimage.label(mask, structure=STRUCT8)
-    for i in range(1, n + 1):
-        sel = want_labels == i
-        assert np.all(sizes[sel] == sel.sum())
-    assert np.all(sizes[~mask] == 0)
-
-
 def test_label_components_links_rows():
     """Pairwise-connectivity CC: two horizontal runs joined by one link."""
     valid = np.ones((1, 3, 8), bool)

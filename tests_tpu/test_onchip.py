@@ -1,0 +1,158 @@
+"""Mosaic-compiled kernels + the fused pipeline on the real chip.
+
+Three classes of assertion:
+  1. memory guards — the fused cleanup chain and each heavy filter must
+     compile with a bounded temp footprint at the bench shape (A4 x 8);
+     round-2's 16.26 GB RESOURCE_EXHAUSTED would fail here at compile
+     time, before any execution.
+  2. Mosaic-vs-ground-truth — the Pallas kernels (flood, CC labels,
+     noise ball count) WITHOUT interpret=True, checked exactly against
+     scipy at awkward (non-tile-aligned) page-scale shapes.
+  3. backend parity — each filter's TPU output (Pallas default-on)
+     equals the CPU/XLA reference path from the golden-tested suite:
+     exact for the unpaper wipes and canny, <= 1 LSB for gaussian/sobel.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scipy import ndimage
+
+# one chip's usable HBM is 15.75 GB; leave room for 2 resident batches
+TEMP_BUDGET_GB = 8.0
+
+_ST8 = np.ones((3, 3), bool)
+
+
+def _temp_gb(fn, *args):
+    ma = jax.jit(fn).lower(*args).compile().memory_analysis()
+    return ma.temp_size_in_bytes / 1e9
+
+
+# ----------------------------------------------------------------- memory
+
+def test_fused_chain_memory_budget(a4_batch8):
+    from libpillowfight_tpu.parallel.pipeline import (
+        DOCUMENT_CLEANUP, normalize_spec, run_pipeline,
+    )
+
+    spec = normalize_spec(DOCUMENT_CLEANUP)
+    x = jnp.asarray(a4_batch8)
+    gb = _temp_gb(lambda p: run_pipeline(p, spec), x)
+    assert gb < TEMP_BUDGET_GB, f"fused chain temp {gb:.2f} GB at A4x8"
+
+
+def test_per_filter_memory_budget(a4_batch8):
+    from libpillowfight_tpu.parallel.pipeline import normalize_spec, run_pipeline
+
+    x = jnp.asarray(a4_batch8)
+    for f in ["unpaper_blackfilter", "unpaper_noisefilter", "unpaper_blurfilter",
+              "unpaper_masks", "unpaper_grayfilter", "unpaper_border"]:
+        spec = normalize_spec(((f, ()),))
+        gb = _temp_gb(lambda p, s=spec: run_pipeline(p, s), x)
+        assert gb < TEMP_BUDGET_GB, f"{f} temp {gb:.2f} GB at A4x8"
+
+
+def test_canny_chunked_memory_budget(a4_batch8):
+    """Config-2 shape: canny over 64 pages streams in chunks of 16."""
+    from libpillowfight_tpu.ops.canny import canny
+    from libpillowfight_tpu.parallel.batch import map_chunked
+
+    x = jnp.asarray(np.repeat(a4_batch8, 8, axis=0))  # 64 pages
+    gb = _temp_gb(lambda p: map_chunked(canny, p, 16), x)
+    assert gb < 12.0, f"chunked canny temp {gb:.2f} GB at A4x64"
+
+
+# ----------------------------------------------------------------- mosaic
+
+def test_flood_reach_compiled_exact(rng):
+    from libpillowfight_tpu.ops.pallas.flood_kernel import flood_reach_pallas
+
+    mask = rng.random((2, 1217, 933)) < 0.55
+    seeds = np.zeros_like(mask)
+    seeds[:, 0, :] = mask[:, 0, :]
+    got = np.asarray(flood_reach_pallas(jnp.asarray(seeds), jnp.asarray(mask)))
+    for b in range(2):
+        lab, _ = ndimage.label(mask[b], structure=_ST8)
+        sl = np.unique(lab[seeds[b]])
+        ref = np.isin(lab, sl[sl > 0])
+        np.testing.assert_array_equal(got[b], ref)
+
+
+def test_labels_compiled_exact(rng):
+    from libpillowfight_tpu.ops.pallas.flood_kernel import label_components_pallas
+
+    mask = rng.random((1, 700, 1031)) < 0.5
+    got = np.asarray(label_components_pallas(jnp.asarray(mask)))[0]
+    lab, n = ndimage.label(mask[0], structure=_ST8)
+    ours, ref = got[mask[0]], lab[mask[0]]
+    pairs = set(zip(ours.tolist(), ref.tolist()))
+    assert len(pairs) == len({a for a, _ in pairs}) == len({b for _, b in pairs})
+
+
+def test_noise_ball_compiled_exact(rng):
+    from libpillowfight_tpu.ops.pallas.noise_kernel import small_cluster_mask_pallas
+
+    mask = rng.random((2, 1111, 517)) < 0.25
+    got = np.asarray(small_cluster_mask_pallas(jnp.asarray(mask), 4))
+    for b in range(2):
+        lab, _ = ndimage.label(mask[b], structure=_ST8)
+        sizes = np.bincount(lab.ravel())
+        sizes[0] = 0
+        np.testing.assert_array_equal(got[b], mask[b] & (sizes[lab] <= 4))
+
+
+# ----------------------------------------------------------------- parity
+
+def _cpu(fn, *args):
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return np.asarray(fn(*jax.device_put(args, jax.local_devices(backend="cpu")[0])))
+
+
+@pytest.mark.parametrize("name", [
+    "unpaper_blackfilter", "unpaper_noisefilter", "unpaper_blurfilter",
+    "unpaper_masks", "unpaper_grayfilter", "unpaper_border", "canny",
+])
+def test_filter_tpu_equals_cpu_reference(a4_page, name):
+    """TPU (Pallas kernels on) == CPU (golden-tested XLA path), exactly.
+    Wipes and canny produce uint8 planes with exact expected equality."""
+    from libpillowfight_tpu.parallel.pipeline import _FILTERS
+
+    fn = _FILTERS[name]
+    x = np.asarray(a4_page)
+    got = np.asarray(fn(jnp.asarray(x)))
+    want = _cpu(fn, x)
+    mismatch = int((got != want).sum())
+    assert mismatch == 0, f"{name}: {mismatch} mismatched bytes at A4"
+
+
+@pytest.mark.parametrize("name", ["gaussian", "sobel"])
+def test_linear_filter_tpu_1lsb(a4_page, name):
+    from libpillowfight_tpu.parallel.pipeline import _FILTERS
+
+    fn = _FILTERS[name]
+    x = np.asarray(a4_page)
+    got = np.asarray(fn(jnp.asarray(x))).astype(np.int16)
+    want = _cpu(fn, x).astype(np.int16)
+    assert np.abs(got - want).max() <= 1
+
+
+# ------------------------------------------------------------- execution
+
+def test_fused_chain_executes_at_bench_shape(a4_batch8):
+    """The exact bench configuration completes on chip and cleans the page."""
+    from libpillowfight_tpu.parallel.pipeline import (
+        DOCUMENT_CLEANUP, normalize_spec, run_pipeline,
+    )
+
+    spec = normalize_spec(DOCUMENT_CLEANUP)
+    x = jnp.asarray(a4_batch8)
+    out = jax.jit(lambda p: run_pipeline(p, spec))(x)
+    arr = np.asarray(out)
+    assert arr.shape == x.shape and arr.dtype == np.uint8
+    # black scan border erased, page mostly white
+    assert (arr[:, :, : arr.shape[2] // 40, :3] == 255).mean() > 0.99
+    assert (arr[..., :3] == 255).mean() > 0.9

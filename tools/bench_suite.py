@@ -125,9 +125,13 @@ def run_config(idx, quick):
             dt, h * w)
 
     if idx == 2:  # Gaussian + full Canny, 64-page batch
+        from libpillowfight_tpu.parallel.batch import map_chunked
+
         b = 8 if quick else 64
         xs = _device_batches(b, h, w)
-        fn = jax.jit(lambda p: canny(p))
+        # canny holds ~6 full-res f32 planes; at batch 64 that exceeds
+        # one chip's HBM — stream 16 pages at a time inside one jit
+        fn = jax.jit(lambda p: map_chunked(canny, p, 16))
         dt = _timed(fn, xs, 3)
         mp = b * h * w / 1e6
         return _roofline_fields(
