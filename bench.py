@@ -55,15 +55,20 @@ def _bench_tpu(pages, iters=3):
     # iterations an already-clean page, understating the flood-fill work)
     xs = [jnp.asarray(pages), jnp.asarray(_pages(*pages.shape[:3], seed=1))]
     fn = jax.jit(lambda p: run_pipeline(p, spec))
-    # warm up + force real execution with a scalar fetch (block_until_ready
-    # through the axon tunnel can return before execution finishes)
-    out = fn(xs[0])
-    _ = float(jnp.sum(out[..., 0].astype(jnp.int32)))
+
+    def fetch(o):
+        # blocking scalar fetch: forces real execution (block_until_ready
+        # through the axon tunnel can return before execution finishes)
+        return float(jnp.sum(o[..., 0].astype(jnp.int32)))
+
+    fetch(fn(xs[0]))  # warm up / compile
     times = []
     for i in range(iters):
+        # per-iteration fetch: serializes iterations (bounded live
+        # memory) and keeps the protocol comparable across rounds; the
+        # ~25 ms tunnel RTT is ~10% of one A4x8 iteration
         t0 = time.perf_counter()
-        out = fn(xs[i % 2])
-        _ = float(jnp.sum(out[..., 0].astype(jnp.int32)))
+        fetch(fn(xs[i % 2]))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     mp = pages.shape[0] * pages.shape[1] * pages.shape[2] / 1e6

@@ -49,12 +49,22 @@ def _out(arr):
 
 
 def ace(img, slope=C.ACE_DEFAULT_SLOPE, limit=C.ACE_DEFAULT_LIMIT,
-        samples=C.ACE_DEFAULT_NB_SAMPLES, seed=None):
-    """ref: pillowfight.ace(img, slope=10, limit=1000, samples=100, seed=None)."""
+        samples=C.ACE_DEFAULT_NB_SAMPLES, seed=None, mode="shared"):
+    """ref: pillowfight.ace(img, slope=10, limit=1000, samples=100, seed=None).
+
+    DOCUMENTED DEVIATION (PARITY.md #15): the default estimator is the
+    shared-spray approximation — one set of `samples` random points per
+    page, shared by every pixel — not upstream's per-pixel independent
+    spray. It equalizes against the same global distribution; measured
+    against the reference-faithful estimator its channel means drift
+    <= 7.5/255 and stds stay within 20% (pinned by
+    tests/test_golden_oracle.py::test_ace_distributional_vs_oracle).
+    Pass mode="per_pixel" for the faithful per-pixel estimator
+    (gather-bound: ~2 orders of magnitude slower on TPU)."""
     seed = C.ACE_DEFAULT_SEED if seed is None else int(seed)
     return _out(_ace(
         _in(img), nb_samples=int(samples), slope=float(slope),
-        limit=float(limit), seed=seed,
+        limit=float(limit), seed=seed, mode=mode,
     ))
 
 

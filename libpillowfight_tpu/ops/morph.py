@@ -33,8 +33,18 @@ def _use_pallas_flood() -> bool:
     kernels are verified exact on-chip at A4 page widths (the earlier
     Mosaic page-width crash was fixed by the width-adaptive band height)
     and cut the flood's HBM traffic from ~44 sweeps/round (XLA scans) to
-    2 band passes/round."""
+    2 band passes/round.
+
+    Fenced OFF inside parallel.mesh.spatial_sharding(): the band kernels
+    assume whole-page rows (sequential grid + VMEM carry), which GSPMD
+    cannot partition over a rows-sharded mesh; the XLA scan path is the
+    partitionable one. Pages-only sharding runs Pallas per-device via
+    shard_map (mesh.map_sharded_pages)."""
     if os.environ.get("PF_PALLAS_FLOOD", "1") in ("0", "false"):
+        return False
+    from ..parallel.mesh import in_spatial_sharding
+
+    if in_spatial_sharding():
         return False
     return jax.default_backend() not in ("cpu",)
 

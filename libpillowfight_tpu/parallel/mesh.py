@@ -9,12 +9,56 @@ rows of one page shard over a ("rows",) spatial axis with halo exchange
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 PAGES_AXIS = "pages"
 ROWS_AXIS = "rows"
+
+# Trace-time flag: rows-sharded (spatial) execution in progress. The
+# Pallas band kernels walk whole-page bands through a sequential grid
+# with VMEM carries — GSPMD has no partitioning rule for that, so under
+# a rows-sharded mesh every morph op must take the XLA scan path (which
+# GSPMD partitions correctly, inserting the cross-shard collectives).
+# Pages-only sharding goes through shard_map (map_sharded_pages), where
+# each device runs the full per-page program locally and Pallas is safe.
+_SPATIAL = contextvars.ContextVar("pf_spatial_sharding", default=False)
+
+
+@contextlib.contextmanager
+def spatial_sharding():
+    """Mark the enclosed trace as rows-sharded: Pallas whole-page band
+    kernels are fenced off in favor of GSPMD-partitionable XLA paths."""
+    tok = _SPATIAL.set(True)
+    try:
+        yield
+    finally:
+        _SPATIAL.reset(tok)
+
+
+def in_spatial_sharding() -> bool:
+    return _SPATIAL.get()
+
+
+def map_sharded_pages(fn, mesh: Mesh):
+    """Data-parallel page map: shard_map over the pages axis; each device
+    runs `fn` on its local page shard (Pallas kernels run per-device, no
+    GSPMD partitioning of the kernels themselves). The rows axis must be
+    size 1 — spatial sharding goes through GSPMD + spatial_sharding()."""
+    from jax.experimental.shard_map import shard_map
+
+    if mesh.shape[ROWS_AXIS] != 1:
+        raise ValueError("map_sharded_pages needs a pages-only mesh")
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=P(PAGES_AXIS),
+        out_specs=P(PAGES_AXIS),
+        check_rep=False,
+    )
 
 
 def make_mesh(n_devices: int | None = None, rows: int = 1) -> Mesh:

@@ -189,9 +189,11 @@ def test_ace_distributional_vs_oracle():
     wm = want[..., :3].mean(axis=(0, 1, 2))
     ws = want[..., :3].std(axis=(0, 1, 2))
     # the faithful estimator must sit right on the reference distribution;
-    # the shared spray is a documented approximation whose correlated
-    # sampling widens the post-stretch spread (~15%) — bound it looser.
-    tol = {"per_pixel": (3.0, 0.05), "shared": (8.0, 0.25)}
+    # the shared spray is a documented approximation (PARITY.md #15) whose
+    # correlated sampling widens the post-stretch spread — measured on
+    # this page: mean delta <= 7.0/255, std within 14.7%; bounds carry
+    # modest seed headroom over those measurements.
+    tol = {"per_pixel": (3.0, 0.05), "shared": (7.5, 0.20)}
     for mode in ("shared", "per_pixel"):
         got = np.stack([
             np.asarray(ace(jnp.asarray(page), nb_samples=60, seed=seed,

@@ -203,3 +203,24 @@ os._exit(1)  # crash: chunk 12 (also host 1's) never happens
     assert sorted(seen) == sorted(list(range(0, 4)) + list(range(8, 16)))
     starts = sorted(json.loads(x)["start"] for x in open(tmp + "/m.jsonl"))
     assert starts == [0, 4, 8, 12]  # whole batch complete exactly once
+
+
+def test_spatial_sharding_fences_pallas(monkeypatch):
+    """The rows-sharding fence turns the Pallas gates off at trace time
+    even when the backend/env would enable them."""
+    import importlib
+
+    morph = importlib.import_module("libpillowfight_tpu.ops.morph")
+    # ops/__init__ re-exports the `gaussian` function, shadowing the
+    # module attribute — resolve the module via importlib
+    gaussian_mod = importlib.import_module("libpillowfight_tpu.ops.gaussian")
+    from libpillowfight_tpu.parallel.mesh import in_spatial_sharding, spatial_sharding
+
+    monkeypatch.setenv("PF_PALLAS_FLOOD", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert morph._use_pallas_flood() and gaussian_mod._use_pallas()
+    with spatial_sharding():
+        assert in_spatial_sharding()
+        assert not morph._use_pallas_flood()
+        assert not gaussian_mod._use_pallas()
+    assert not in_spatial_sharding()

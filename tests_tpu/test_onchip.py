@@ -156,3 +156,21 @@ def test_fused_chain_executes_at_bench_shape(a4_batch8):
     # black scan border erased, page mostly white
     assert (arr[:, :, : arr.shape[2] // 40, :3] == 255).mean() > 0.99
     assert (arr[..., :3] == 255).mean() > 0.9
+
+
+def test_pallas_inside_shard_map(a4_page):
+    """Pallas kernels execute inside shard_map on a pages-only mesh (the
+    multi-chip DP path runs them per-device; 1-device mesh on this chip
+    proves the composition compiles + executes with Mosaic kernels on)."""
+    from libpillowfight_tpu.parallel.mesh import make_mesh, map_sharded_pages
+    from libpillowfight_tpu.parallel.pipeline import (
+        DOCUMENT_CLEANUP, normalize_spec, run_pipeline,
+    )
+
+    spec = normalize_spec(DOCUMENT_CLEANUP)
+    mesh = make_mesh(1, rows=1)
+    x = jnp.asarray(a4_page)
+    dp = jax.jit(map_sharded_pages(lambda p: run_pipeline(p, spec), mesh))
+    got = np.asarray(dp(x))
+    want = np.asarray(jax.jit(lambda p: run_pipeline(p, spec))(x))
+    np.testing.assert_array_equal(got, want)

@@ -56,6 +56,12 @@ def _roofline_fields(rec, dt, n_px, n_stages=1):
     peak, kind = _peak_hbm_bw()
     sol_bytes = SOL_BYTES_PER_PX * n_px
     achieved = sol_bytes / dt          # useful bytes moved per second
+    rtt = tunnel_rtt_s()
+    rec["tunnel_rtt_ms"] = rtt * 1e3
+    if dt > rtt:
+        # iteration time net of the one per-iteration tunnel round-trip:
+        # the device-side figure a production (non-tunneled) host sees
+        rec["mp_per_s_chip_net_rtt"] = (n_px / 1e6) / (dt - rtt)
     rec["device_kind"] = kind
     rec["peak_hbm_gb_s"] = peak / 1e9
     rec["sol_bytes_per_px"] = SOL_BYTES_PER_PX
@@ -67,24 +73,51 @@ def _roofline_fields(rec, dt, n_px, n_stages=1):
     return rec
 
 
-def _timed(fn, batches, iters):
-    """Median seconds/iteration; each iteration consumes a fresh batch."""
+def _fetch(o):
     import jax
     import jax.numpy as jnp
 
-    # warm-up (compile) on the first batch
-    o = fn(batches[0])
     leaf = jax.tree_util.tree_leaves(o)[0]
-    _ = float(jnp.sum(leaf[(0,) * leaf.ndim].astype(jnp.float32)))
+    # blocking scalar fetch: forces full execution through the axon
+    # tunnel (block_until_ready can return early across it)
+    return float(jnp.sum(leaf[(0,) * leaf.ndim].astype(jnp.float32)))
+
+
+_RTT_CACHE = []
+
+
+def tunnel_rtt_s() -> float:
+    """Median round-trip of a trivial dispatch+fetch through the axon
+    tunnel (~25 ms here). Every timed iteration below pays this once;
+    recorded in each benchmark record so small-iteration configs can be
+    interpreted (queueing N un-fetched iterations instead would allocate
+    N output buffers at once and OOM the large configs)."""
+    if not _RTT_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: (x * 2).sum())
+        x = jnp.ones((8, 128))
+        float(f(x))
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            float(f(x))
+            ts.append(time.perf_counter() - t0)
+        _RTT_CACHE.append(float(np.median(ts)))
+    return _RTT_CACHE[0]
+
+
+def _timed(fn, batches, iters):
+    """Median seconds/iteration; each iteration consumes a fresh (dirty)
+    batch and ends with a blocking scalar fetch (serializes iterations
+    and bounds live memory to one iteration's working set)."""
+    _fetch(fn(batches[0]))  # warm-up (compile)
     times = []
     for i in range(iters):
         x = batches[i % len(batches)]
         t0 = time.perf_counter()
-        o = fn(x)
-        leaf = jax.tree_util.tree_leaves(o)[0]
-        # blocking scalar fetch forces full execution before the next
-        # iteration dispatches (and pulls through the axon tunnel)
-        _ = float(jnp.sum(leaf[(0,) * leaf.ndim].astype(jnp.float32)))
+        _fetch(fn(x))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
