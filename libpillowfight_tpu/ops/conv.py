@@ -5,11 +5,13 @@ TPU-native replacement for the reference's direct 2-D convolution
 SURVEY.md §2.1). Boundary semantics are pinned to the oracle: zero padding,
 true convolution (kernel flipped), output same size as input.
 
-Gray planes are f32 [B, H, W]; we lower to XLA convs as NHWC with C=1 so
-XLA tiles them onto the TPU vector/matrix units and fuses the surrounding
-elementwise work. Separable filters run as two rank-1 convs (row then
-column) — the same factorization the reference uses (conv, transpose,
-conv), minus the materialized transpose.
+Gray planes are f32 [B, H, W]; we lower to XLA convs as NCHW with C=1 so
+the page width stays the minor (lane) dimension. NHWC with C=1 is a trap
+here: layout assignment can pad the size-1 trailing channel dim to the
+128-lane tile — a 128x memory blowup (observed: a 278 MB sobel plane
+assigned a 35.6 GB buffer at A4 x 8). Separable filters run as two
+rank-1 convs (row then column) — the same factorization the reference
+uses (conv, transpose, conv), minus the materialized transpose.
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_DN = ("NHWC", "HWIO", "NHWC")
+_DN = ("NCHW", "OIHW", "NCHW")
 
 
 def _conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -28,13 +30,13 @@ def _conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
     pf_dbl_matrix_convolution semantics.
     """
     kh, kw = kernel.shape
-    k = jnp.flip(kernel, (0, 1)).reshape(kh, kw, 1, 1).astype(x.dtype)
+    k = jnp.flip(kernel, (0, 1)).reshape(1, 1, kh, kw).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
-        x[..., None], k, window_strides=(1, 1),
+        x[:, None], k, window_strides=(1, 1),
         padding=((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2)),
         dimension_numbers=_DN,
     )
-    return y[..., 0]
+    return y[:, 0]
 
 
 def conv2d(x: jax.Array, kernel: jax.Array) -> jax.Array:

@@ -174,3 +174,34 @@ def test_pallas_inside_shard_map(a4_page):
     got = np.asarray(dp(x))
     want = np.asarray(jax.jit(lambda p: run_pipeline(p, spec))(x))
     np.testing.assert_array_equal(got, want)
+
+
+def _text_page_a4(h=3508, w=2480):
+    """A4 grid of compact bar letters (SW 6, height 50 — passes the
+    letter filters) + a gray shading block SWT must ignore."""
+    g = np.full((h, w), 255, np.uint8)
+    for y0 in range(120, h - 120, 110):
+        for x0 in range(120, w - 120, 45):
+            g[y0 : y0 + 50, x0 : x0 + 6] = 0
+    g[h - 180 : h - 80, 40:400] = 215
+    return np.stack([g, g, g, np.full_like(g, 255)], -1)
+
+
+@pytest.mark.parametrize("mode", [0, 1])
+def test_swt_a4_golden(mode):
+    """SWT at full A4 on chip vs the C++ oracle (VERDICT r2 item 5: the
+    compaction bounds — max_rays H*W//32, max_valid H*W//8 — and the
+    17-point median gather had never run at A4)."""
+    from libpillowfight_tpu.ops.swt import swt
+    from libpillowfight_tpu.utils import oracle
+
+    if not oracle.available():
+        pytest.skip("oracle not built")
+    page = _text_page_a4()
+    want = oracle.swt(page, mode)
+    got = np.asarray(swt(jnp.asarray(page), mode))
+    wm = (want[..., :3] != 255).any(-1)
+    gm = (got[..., :3] != 255).any(-1)
+    iou = (wm & gm).sum() / max((wm | gm).sum(), 1)
+    assert wm.sum() > 100_000, "oracle found no text at A4"
+    assert iou >= 0.99, f"A4 swt mode {mode} IoU {iou:.4f}"
