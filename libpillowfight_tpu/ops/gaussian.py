@@ -33,7 +33,7 @@ def _blur_planes(planes: jax.Array, sigma: float, nb_stddev: int) -> jax.Array:
         from .pallas.gaussian_kernel import gaussian_sep_pallas, gaussian_taps
 
         return gaussian_sep_pallas(planes, gaussian_taps(sigma, nb_stddev))
-    return sep_conv2d(planes, jnp.asarray(gaussian_kernel_1d(sigma, nb_stddev)))
+    return sep_conv2d(planes, gaussian_kernel_1d(sigma, nb_stddev))
 
 
 @partial(jax.jit, static_argnames=("sigma", "nb_stddev"))

@@ -891,6 +891,33 @@ int main(int argc, char** argv) {
                 (double)h * w / 1e6 / dt, dt);
     return 0;
   }
+  // per-filter CPU baselines for BENCH_DETAIL's vs_oracle columns
+  if (cmd == "bench-filter" && argc >= 5) {
+    std::string f = argv[2];
+    int h = std::atoi(argv[3]), w = std::atoi(argv[4]);
+    std::vector<uint8_t> a, b;
+    make_scan_page(a, h, w);
+    b.resize(a.size());
+    auto t0 = std::chrono::steady_clock::now();
+    if (f == "sobel") pf_oracle_sobel(a.data(), b.data(), h, w);
+    else if (f == "gaussian") pf_oracle_gaussian(a.data(), b.data(), h, w, 2.0, 5);
+    else if (f == "canny") pf_oracle_canny(a.data(), b.data(), h, w);
+    else if (f == "ace") pf_oracle_ace_rand(a.data(), b.data(), h, w, 100, 10.0, 1000.0, 7);
+    else if (f == "swt") pf_oracle_swt(a.data(), b.data(), h, w, 0);
+    else if (f == "blackfilter") pf_oracle_blackfilter(a.data(), b.data(), h, w);
+    else if (f == "noisefilter") pf_oracle_noisefilter(a.data(), b.data(), h, w);
+    else if (f == "blurfilter") pf_oracle_blurfilter(a.data(), b.data(), h, w);
+    else if (f == "masks") pf_oracle_masks(a.data(), b.data(), h, w);
+    else if (f == "grayfilter") pf_oracle_grayfilter(a.data(), b.data(), h, w);
+    else if (f == "border") pf_oracle_border(a.data(), b.data(), h, w);
+    else { std::fprintf(stderr, "unknown filter %s\n", f.c_str()); return 2; }
+    double dt = std::chrono::duration<double>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count();
+    std::printf("{\"mp_per_sec\": %.4f, \"seconds\": %.4f}\n",
+                (double)h * w / 1e6 / dt, dt);
+    return 0;
+  }
   std::fprintf(stderr, "unknown command %s\n", cmd.c_str());
   return 2;
 }

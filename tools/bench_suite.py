@@ -128,6 +128,43 @@ def _scan_pages(b, h, w, seed=0):
     return _pages(b, h, w, seed)
 
 
+_ORACLE_FILTER = {  # bench-suite kernel name -> oracle bench-filter name
+    "sobel": "sobel", "gaussian": "gaussian", "canny": "canny",
+    "ace": "ace", "swt": "swt",
+    "unpaper_blackfilter": "blackfilter", "unpaper_noisefilter": "noisefilter",
+    "unpaper_blurfilter": "blurfilter", "unpaper_masks": "masks",
+    "unpaper_grayfilter": "grayfilter", "unpaper_border": "border",
+}
+
+
+def _oracle_filter_mps(name, h, w):
+    """Single-core C-reference MP/s for one filter (None if unavailable)."""
+    import subprocess
+
+    exe = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "oracle", "pf_oracle")
+    if not os.path.exists(exe) or name not in _ORACLE_FILTER:
+        return None
+    try:
+        out = subprocess.run(
+            [exe, "bench-filter", _ORACLE_FILTER[name], str(h), str(w)],
+            capture_output=True, text=True, timeout=900,
+        )
+        if out.returncode == 0:
+            return float(json.loads(out.stdout.strip())["mp_per_sec"])
+    except Exception:
+        pass
+    return None
+
+
+def _with_oracle(rec, name, h, w, mps_key="mp_per_s_chip"):
+    o = _oracle_filter_mps(name, h, w)
+    if o:
+        rec["oracle_cpu_mp_per_s"] = o
+        rec["vs_oracle"] = rec[mps_key] / o
+    return rec
+
+
 def _device_batches(b, h, w, n=2):
     import jax.numpy as jnp
 
@@ -152,10 +189,10 @@ def run_config(idx, quick):
         xs = _device_batches(1, h, w)
         dt = _timed(jax.jit(sobel), xs, 3)
         mp = h * w / 1e6
-        return _roofline_fields(
+        return _with_oracle(_roofline_fields(
             {"config": "sobel_1page_300dpi", "mp_per_s_chip": mp / dt,
              "ms_per_page": dt * 1e3, "pages": 1, "page_mp": mp},
-            dt, h * w)
+            dt, h * w), "sobel", h, w)
 
     if idx == 2:  # Gaussian + full Canny, 64-page batch
         from libpillowfight_tpu.parallel.batch import map_chunked
@@ -167,10 +204,10 @@ def run_config(idx, quick):
         fn = jax.jit(lambda p: map_chunked(canny, p, 16))
         dt = _timed(fn, xs, 3)
         mp = b * h * w / 1e6
-        return _roofline_fields(
+        return _with_oracle(_roofline_fields(
             {"config": "canny_batch64", "mp_per_s_chip": mp / dt,
              "pages_per_s": b / dt, "pages": b, "page_mp": h * w / 1e6},
-            dt, b * h * w)
+            dt, b * h * w), "canny", h, w)
 
     if idx == 3:  # unpaper chain, 256 pages (chunked)
         b = 8 if quick else 16
@@ -192,10 +229,10 @@ def run_config(idx, quick):
         fn = jax.jit(lambda p: ace(p))
         dt = _timed(fn, xs, 3)
         mp = hh * ww / 1e6
-        return _roofline_fields(
+        return _with_oracle(_roofline_fields(
             {"config": "ace_600dpi", "mp_per_s_chip": mp / dt,
              "ms_per_page": dt * 1e3, "page_mp": mp},
-            dt, hh * ww)
+            dt, hh * ww), "ace", hh, ww)
 
     if idx == 5:  # SWT + full cleanup (single-chip slice of config 5)
         b = 1
@@ -205,12 +242,12 @@ def run_config(idx, quick):
         xs = _device_batches(b, hh, ww)
         dt = _timed(fn, xs, 2)
         mp = b * hh * ww / 1e6
-        return _roofline_fields(
+        return _with_oracle(_roofline_fields(
             {"config": "swt_plus_cleanup", "mp_per_s_chip": mp / dt,
              "pages_per_s": b / dt,
              "pages_per_s_per_chip_extrapolated_10k": b / dt,
              "page_mp": hh * ww / 1e6},
-            dt, b * hh * ww, n_stages=7)
+            dt, b * hh * ww, n_stages=7), "swt", hh, ww)
 
     if idx == 6:  # per-kernel microbench: every filter alone, same batch
         from libpillowfight_tpu.ops import gaussian, unpaper
@@ -234,9 +271,9 @@ def run_config(idx, quick):
         per = {}
         for name, fn in kernels.items():
             dt = _timed(fn, xs, 3)
-            per[name] = _roofline_fields(
+            per[name] = _with_oracle(_roofline_fields(
                 {"mp_per_s_chip": mp / dt, "ms_per_batch": dt * 1e3},
-                dt, n_px)
+                dt, n_px), name, h, w)
             print(f"  {name}: {mp/dt:.0f} MP/s "
                   f"({per[name]['roofline_pct_fused_sol']:.1f}% roofline)",
                   flush=True)
