@@ -181,12 +181,11 @@ def ace(
 ) -> jax.Array:
     del nb_threads
     key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
-    from ..parallel.mesh import in_spatial_sharding
+    from ..parallel.mesh import pallas_backend_ok
 
     # (pallas spray kernel is per-page; fenced under rows-sharding where
     # GSPMD must partition the XLA spray accumulation instead)
-    use_pallas = (mode == "shared" and not in_spatial_sharding()
-                  and jax.default_backend() not in ("cpu",))
+    use_pallas = mode == "shared" and pallas_backend_ok()
     return _ace_jit(pages, key, nb_samples, float(slope), float(limit), mode,
                     use_pallas)
 

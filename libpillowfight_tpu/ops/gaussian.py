@@ -19,11 +19,11 @@ from .conv import gaussian_kernel_1d, sep_conv2d
 
 
 def _use_pallas() -> bool:
-    from ..parallel.mesh import in_spatial_sharding
+    from ..parallel.mesh import pallas_backend_ok
 
     # fenced under rows-sharding: the fused separable kernel assumes
     # whole-page columns; GSPMD partitions the XLA rank-1 convs instead
-    return not in_spatial_sharding() and jax.default_backend() not in ("cpu",)
+    return pallas_backend_ok()
 
 
 def _blur_planes(planes: jax.Array, sigma: float, nb_stddev: int) -> jax.Array:

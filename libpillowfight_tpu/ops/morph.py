@@ -42,11 +42,9 @@ def _use_pallas_flood() -> bool:
     shard_map (mesh.map_sharded_pages)."""
     if os.environ.get("PF_PALLAS_FLOOD", "1") in ("0", "false"):
         return False
-    from ..parallel.mesh import in_spatial_sharding
+    from ..parallel.mesh import pallas_backend_ok
 
-    if in_spatial_sharding():
-        return False
-    return jax.default_backend() not in ("cpu",)
+    return pallas_backend_ok()
 
 
 # --------------------------------------------------------------------------

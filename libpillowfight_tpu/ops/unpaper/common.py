@@ -43,6 +43,8 @@ def _trailing_or(x: jax.Array, size: int, axis: int) -> jax.Array:
     doubling shifts give O(log size) passes — stride-1 reduce_window
     lowers to `size` taps per pixel on TPU (10^2 for blurfilter blocks),
     this is ~7."""
+    if size <= 0:
+        return jnp.zeros_like(x)
     ax = axis % x.ndim
     covered = 1
     while covered < size:
@@ -56,18 +58,49 @@ def _trailing_or(x: jax.Array, size: int, axis: int) -> jax.Array:
     return x
 
 
+def _expand_axis(g: jax.Array, n_pix: int, size: int, step: int,
+                 axis: int) -> jax.Array:
+    """Expand a selected-block grid along one axis to per-pixel coverage.
+
+    Pixel p is covered iff a selected block *starts* at index i with
+    i*step in [p-size+1, p], i.e. block index i in
+    [q - taps(r) + 1, q] for q = p // step, r = p % step, and
+    taps(r) = floor((size-1-r)/step) + 1. taps takes at most TWO values
+    over a stride cell (hi at small r, lo at large r), so coverage =
+    phase-select between two trailing-OR grids upsampled by `step` —
+    all the OR work happens at block-grid resolution (~size/step taps on
+    a W/step-wide plane) instead of the old pixel-resolution doubling
+    chain (~2 log(size) full-plane passes, 27 ms at A4x8 on v5e)."""
+    ax = axis % g.ndim
+    nb = g.shape[ax]
+    q_n = (n_pix - 1) // step + 1
+    if q_n > nb:  # pixels past the last block start: zero-pad the grid
+        pad = [(0, 0)] * g.ndim
+        pad[ax] = (0, q_n - nb)
+        g = jnp.pad(g, pad)
+    t_hi = (size - 1) // step + 1
+    t_lo = max((size - step) // step + 1, 0) if size >= step else 0
+    hi = jnp.repeat(_trailing_or(g, t_hi, ax), step, axis=ax)
+    hi = jax.lax.slice_in_dim(hi, 0, n_pix, axis=ax)
+    if t_lo == t_hi:
+        return hi
+    lo = jnp.repeat(_trailing_or(g, t_lo, ax), step, axis=ax)
+    lo = jax.lax.slice_in_dim(lo, 0, n_pix, axis=ax)
+    r = jax.lax.iota(jnp.int32, n_pix) % step
+    is_hi = r <= (size - 1 - (t_hi - 1) * step)
+    shape = [1] * g.ndim
+    shape[ax] = n_pix
+    return jnp.where(is_hi.reshape(shape), hi, lo)
+
+
 def coverage_from_blocks(blocks: jax.Array, shape: tuple[int, int, int],
                          size: int, step: int) -> jax.Array:
     """Inverse of block_sums' footprint: bool grid [B,nby,nbx] -> bool pixel
-    mask [B,H,W] true where the pixel is covered by any selected block."""
+    mask [B,H,W] true where the pixel is covered by any selected block.
+    Separable: expand rows at grid width first (cheap), then columns."""
     b, h, w = shape
-    _, nby, nbx = blocks.shape
-    sparse = jnp.zeros((b, h, w), bool)
-    sparse = sparse.at[:, : nby * step : step, : nbx * step : step].set(blocks)
-    # pixel p covered iff a selected block starts in [p-size+1, p]; OR is
-    # separable AND idempotent: two 1-D doubling chains (~2 log size
-    # passes) replace the size^2-tap 2-D window
-    return _trailing_or(_trailing_or(sparse, size, 1), size, 2)
+    return _expand_axis(_expand_axis(blocks, h, size, step, 1),
+                        w, size, step, 2)
 
 
 def wipe_white(pages: jax.Array, wipe: jax.Array) -> jax.Array:

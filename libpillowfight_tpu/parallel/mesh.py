@@ -44,6 +44,21 @@ def in_spatial_sharding() -> bool:
     return _SPATIAL.get()
 
 
+def pallas_backend_ok() -> bool:
+    """True when Mosaic-compiled Pallas kernels can execute here: an
+    accelerator backend, no enclosing jax.default_device(cpu) context
+    (default_backend() ignores it — the on-TPU lane's CPU-reference arm
+    hit Mosaic-on-CPU errors without this check), and not under rows
+    (spatial) sharding, which GSPMD cannot partition the sequential-grid
+    band kernels for."""
+    if in_spatial_sharding():
+        return False
+    dev = jax.config.jax_default_device
+    if dev is not None and getattr(dev, "platform", None) == "cpu":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def map_sharded_pages(fn, mesh: Mesh):
     """Data-parallel page map: shard_map over the pages axis; each device
     runs `fn` on its local page shard (Pallas kernels run per-device, no
