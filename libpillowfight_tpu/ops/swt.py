@@ -136,17 +136,23 @@ def _first_edge_along(edge_cls: jax.Array, k: int, t_units: int,
     """
     v = _VECS[k]
     nv = float(_NORMS[k])
+    halves = _halves(v)
+    # axis/diagonal classes hit only at lattice multiples of v, so the
+    # step count and lattice flag are pure functions of the distance
+    # (u = d/nv, lat = hit) — dropping their carries removes 2 of the
+    # ~5 shifted planes per doubling step for half the classes
+    simple = not halves
 
     # one-step base case: full step first, then intermediates far->near
     # overwrite (the continuously-first hit wins)
     ev = _shift_static(edge_cls, v[0], v[1], -1)
     d = jnp.where(ev >= 0, jnp.float32(nv), _INF)
-    u = jnp.where(ev >= 0, 1, 0).astype(jnp.int32)
     c = jnp.where(ev >= 0, ev, -1).astype(jnp.int8)
-    lat = ev >= 0
+    u = None if simple else jnp.where(ev >= 0, 1, 0).astype(jnp.int32)
+    lat = None if simple else (ev >= 0)
     pl = [jnp.where(ev >= 0, _shift_static(p, v[0], v[1], _INF), _INF)
           for p in payloads]
-    for hc in _halves(v):
+    for hc in halves:
         eh = _shift_static(edge_cls, hc[0], hc[1], -1)
         hit_h = eh >= 0
         d = jnp.where(hit_h, jnp.float32(np.hypot(*hc)), d)
@@ -160,17 +166,22 @@ def _first_edge_along(edge_cls: jax.Array, k: int, t_units: int,
     while step < t_units:
         sy, sx = step * v[0], step * v[1]
         d2 = _shift_static(d, sy, sx, _INF)
-        u2 = _shift_static(u, sy, sx, 0)
         c2 = _shift_static(c, sy, sx, -1)
         miss = d >= _INF
         ext = d2 < _INF
         take = miss & ext
         d = jnp.where(take, step * nv + d2, d)
-        u = jnp.where(take, step + u2, u)
         c = jnp.where(take, c2, c)
-        lat = jnp.where(take, _shift_static(lat, sy, sx, False), lat)
+        if not simple:
+            u2 = _shift_static(u, sy, sx, 0)
+            u = jnp.where(take, step + u2, u)
+            lat = jnp.where(take, _shift_static(lat, sy, sx, False), lat)
         pl = [jnp.where(take, _shift_static(q, sy, sx, _INF), q) for q in pl]
         step *= 2
+    if simple:
+        hit = d < _INF
+        u = jnp.where(hit, jnp.round(d / nv).astype(jnp.int32), 0)
+        lat = hit
     return (d, u, c, lat, *pl)
 
 
@@ -347,8 +358,9 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
 # letter components
 # --------------------------------------------------------------------------
 
-def _letter_mask_one(gray, swt, sign, max_letters, max_valid):
-    """Filter SWT components down to letter candidates.
+def _letter_mask_one(gray, swt_minus, swt_plus, max_letters, max_valid):
+    """Filter SWT components down to letter candidates — BOTH polarity
+    passes in one labeling + one statistics sweep.
 
     Returns (mask bool [H,W], boxes int32 [max_letters, 4] as
     (y0, y1, x0, x1), boxes_ok bool [max_letters]) — the boxes are the
@@ -360,23 +372,31 @@ def _letter_mask_one(gray, swt, sign, max_letters, max_valid):
     the dark-on-light pass only keeps pixels darker than the page median
     (strokes are dark), the light-on-dark pass only pixels lighter —
     this rejects the page-spanning pseudo strokes that inter-letter
-    gaps / blank pages produce.
+    gaps / blank pages produce. The two gated pixel sets are therefore
+    DISJOINT, so both passes share one combined SWT plane; CC links add
+    a same-polarity condition, making each component single-polarity —
+    identical components and statistics to two separate passes at half
+    the labeling/scatter cost (the stats sweep is the dominant ~300 ms
+    of an A4 SWT on v5e).
     """
-    h, w = swt.shape
+    h, w = swt_minus.shape
     med = jnp.median(gray)
-    polarity_ok = jnp.where(sign < 0, gray < med, gray > med)
-    swt = jnp.where(polarity_ok, swt, _INF)
+    neg = gray < med
+    pos = gray > med
+    swt = jnp.where(neg, swt_minus, jnp.where(pos, swt_plus, _INF))
     valid = swt < _INF
 
     # pairwise links: neighbors whose stroke-width ratio <= SWT_CC_SW_RATIO
+    # and (combined-pass invariant) equal polarity
     def link(dy, dx):
         rolled = jnp.roll(jnp.roll(swt, -dy, 0), -dx, 1)
         nvalid = jnp.roll(jnp.roll(valid, -dy, 0), -dx, 1)
+        npol = jnp.roll(jnp.roll(neg, -dy, 0), -dx, 1)
         ratio_ok = (
             (jnp.maximum(swt, rolled) / jnp.maximum(jnp.minimum(swt, rolled), 1e-6))
             <= C.SWT_CC_SW_RATIO
         )
-        ok = valid & nvalid & ratio_ok
+        ok = valid & nvalid & ratio_ok & (neg == npol)
         # kill wrap-around links
         ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -425,7 +445,8 @@ def _letter_mask_one(gray, swt, sign, max_letters, max_valid):
 
     # ---- nested-box filter: a component containing > SWT_MAX_NESTED_LETTERS
     # other accepted boxes is a frame, not a letter (ref: swt.c).
-    rep = jnp.where(c_ok & (c_lab == cys * w + cxs) & ok[c_lab], c_lab, h * w)
+    ok_c = ok[c_lab]  # per-compacted-pixel acceptance (reused for render)
+    rep = jnp.where(c_ok & (c_lab == cys * w + cxs) & ok_c, c_lab, h * w)
     rep_idx = jnp.sort(rep)[:max_letters]
     r_ok = rep_idx < h * w
     ry0 = ymin[rep_idx]
@@ -442,11 +463,19 @@ def _letter_mask_one(gray, swt, sign, max_letters, max_valid):
     reject_mask = jnp.zeros(nb, bool).at[
         jnp.where(r_ok & (nested > C.SWT_MAX_NESTED_LETTERS), rep_idx, h * w)
     ].set(True)
-    ok = ok & ~reject_mask
+
+    # letter mask via the compacted pixel list: valid pixels are exactly
+    # the compacted points, so gathering acceptance at 1/8-page points and
+    # scattering True back is ~3x cheaper than the full-page ok[labels]
+    # gather (80 ms -> ~45 ms at A4 on v5e; TPU gathers are per-element)
+    keep_c = c_ok & ok_c & ~reject_mask[c_lab]
+    mask = jnp.zeros(h * w + 1, bool).at[
+        jnp.where(keep_c, cys * w + cxs, h * w)
+    ].set(True)[: h * w].reshape(h, w)
 
     boxes = jnp.stack([ry0, ry1, rx0, rx1], axis=-1).astype(jnp.int32)
     boxes_ok = r_ok & (nested <= C.SWT_MAX_NESTED_LETTERS)
-    return valid & ok[labels], boxes, boxes_ok
+    return mask, boxes, boxes_ok
 
 
 # --------------------------------------------------------------------------
@@ -486,11 +515,8 @@ def _swt_one(page, output_type, max_rays, max_len, max_letters, max_valid):
     edges = canny_edge_mask(gray[None])[0]
 
     swt_minus, swt_plus = _swt_maps_one(gray, edges, max_rays, max_len)
-    m_minus, bx_minus, bok_minus = _letter_mask_one(
-        gray, swt_minus, -1, max_letters, max_valid)
-    m_plus, bx_plus, bok_plus = _letter_mask_one(
-        gray, swt_plus, 1, max_letters, max_valid)
-    letter = m_minus | m_plus
+    letter, boxes, boxes_ok = _letter_mask_one(
+        gray, swt_minus, swt_plus, max_letters, max_valid)
 
     h, w = gray.shape
     alpha = page[..., 3:]
@@ -502,11 +528,7 @@ def _swt_one(page, output_type, max_rays, max_len, max_letters, max_valid):
         v = jnp.where(letter, g, jnp.uint8(C.PF_WHITE))
         rgb = jnp.stack([v, v, v], axis=-1)
     elif output_type == C.SWT_OUTPUT_ORIGINAL_BOXES:
-        rgb = _draw_boxes(
-            page[..., :3],
-            jnp.concatenate([bx_minus, bx_plus], axis=0),
-            jnp.concatenate([bok_minus, bok_plus], axis=0),
-        )
+        rgb = _draw_boxes(page[..., :3], boxes, boxes_ok)
     else:
         raise ValueError(f"unknown swt output_type {output_type}")
     return jnp.concatenate([rgb, alpha], axis=-1)
@@ -527,9 +549,11 @@ def swt(
     """Stroke Width Transform. uint8 RGBA [B,H,W,4] (or single page) in/out.
 
     max_rays bounds the compacted valid-ray list for the median clamp
-    (default H*W//32); max_len bounds ray length in pixels; max_valid
-    bounds the compacted stroke-pixel list for component statistics
-    (default H*W//8); max_letters bounds the nested-box candidate list.
+    (default H*W//32, per polarity); max_len bounds ray length in pixels;
+    max_valid bounds the compacted stroke-pixel list for component
+    statistics (default H*W//8, shared by both polarity passes — their
+    gated pixel sets are disjoint); max_letters bounds the nested-box
+    candidate list (total across both polarities).
     """
     pages, unb = ensure_batched(pages)
     _, h, w, _ = pages.shape
