@@ -46,6 +46,8 @@ def _load():
             u8p, u8p, ctypes.c_int, ctypes.c_int]
     _lib.pf_oracle_swt.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int,
                                    ctypes.c_int]
+    _lib.pf_oracle_masks_multi.argtypes = [
+        u8p, u8p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int]
     _lib.pf_oracle_ace_samples.argtypes = [
         u8p, u8p, ctypes.c_int, ctypes.c_int, i32p, i32p, ctypes.c_int,
         ctypes.c_double, ctypes.c_double]
@@ -107,6 +109,19 @@ def border(page):
 
 def masks(page):
     return _run("masks", page)
+
+
+def masks_multi(page, starts):
+    """Multi-start masks: starts is a sequence of (y, x) pixel points."""
+    lib = _load()
+    page = np.ascontiguousarray(page, np.uint8)
+    pts = np.ascontiguousarray(np.asarray(starts, np.int32).reshape(-1))
+    h, w, _ = page.shape
+    out = np.empty_like(page)
+    lib.pf_oracle_masks_multi(
+        _buf(page), _buf(out), h, w,
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(pts) // 2)
+    return out
 
 
 def swt(page, output_type=0):

@@ -568,7 +568,8 @@ void pf_oracle_border(const uint8_t* in, uint8_t* out, int h, int w) {
         wipe_px(out, w, y, x);
 }
 
-void pf_oracle_masks(const uint8_t* in, uint8_t* out, int h, int w) {
+void pf_oracle_masks_multi(const uint8_t* in, uint8_t* out, int h, int w,
+                           const int32_t* starts_yx, int n_starts) {
   std::memcpy(out, in, (size_t)h * w * 4);
   Mat g = gray_of(in, h, w);
   int size = PFT_MASKS_SCAN_SIZE, step = PFT_MASKS_SCAN_STEP;
@@ -580,7 +581,8 @@ void pf_oracle_masks(const uint8_t* in, uint8_t* out, int h, int w) {
       rows[y] += d;
       cols[x] += d;
     }
-  // outward search from center; blank strip = ratio below threshold
+  // outward search from each start point; blank strip = ratio below
+  // threshold; kept content area = union of the per-start rectangles
   auto edge_low = [&](const std::vector<double>& line, int perp, int center) {
     int kmax = std::max((center - size) / step + 1, 1);
     for (int k = 0; k < kmax; k++) {
@@ -604,12 +606,22 @@ void pf_oracle_masks(const uint8_t* in, uint8_t* out, int h, int w) {
     }
     return n;
   };
-  int left = edge_low(cols, h, w / 2), right = edge_high(cols, w, h, w / 2);
-  int top = edge_low(rows, w, h / 2), bottom = edge_high(rows, h, w, h / 2);
+  std::vector<uint8_t> keep((size_t)h * w, 0);
+  for (int s = 0; s < n_starts; s++) {
+    int sy = starts_yx[2 * s], sx = starts_yx[2 * s + 1];
+    int left = edge_low(cols, h, sx), right = edge_high(cols, w, h, sx);
+    int top = edge_low(rows, w, sy), bottom = edge_high(rows, h, w, sy);
+    for (int y = top; y < bottom; y++)
+      for (int x = left; x < right; x++) keep[(size_t)y * w + x] = 1;
+  }
   for (int y = 0; y < h; y++)
     for (int x = 0; x < w; x++)
-      if (x < left || x >= right || y < top || y >= bottom)
-        wipe_px(out, w, y, x);
+      if (!keep[(size_t)y * w + x]) wipe_px(out, w, y, x);
+}
+
+void pf_oracle_masks(const uint8_t* in, uint8_t* out, int h, int w) {
+  int32_t center[2] = {h / 2, w / 2};
+  pf_oracle_masks_multi(in, out, h, w, center, 1);
 }
 
 }  // extern "C"

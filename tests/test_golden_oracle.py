@@ -148,6 +148,30 @@ def test_unpaper_vs_oracle(rng, name, tpu_fn):
     assert frac < 0.01, f"{name} pixel mismatch fraction {frac:.4%}"
 
 
+def test_masks_multi_start_vs_oracle():
+    """Multiple user start points (ref: masks.c scan points — SURVEY.md
+    §2.2 masks row): kept area is the union of per-start rectangles."""
+    h, w = 220, 260
+    g = np.full((h, w), 245, np.uint8)
+    # two separated content clusters with a blank band between them
+    for y0 in range(20, 70, 12):
+        g[y0 : y0 + 3, 20:100] = 15
+    for y0 in range(150, 200, 12):
+        g[y0 : y0 + 3, 150:240] = 15
+    page = np.stack([g, g, g, np.full_like(g, 255)], axis=-1)
+    starts = ((45, 60), (175, 195))
+    want = oracle.masks_multi(page, starts)
+    got = np.asarray(unpaper.unpaper_masks(jnp.asarray(page), starts=starts))
+    iou = _iou_wiped(page, got, want)
+    assert iou >= 0.99, f"multi-start masks wiped-region IoU {iou:.4f}"
+    # multi-start must keep BOTH clusters; the center-only default, whose
+    # center sits in the blank band, must not be what we produced
+    center_only = np.asarray(unpaper.unpaper_masks(jnp.asarray(page)))
+    assert not np.array_equal(got, center_only)
+    n, _ = bitmap.compare(jnp.asarray(got)[None], jnp.asarray(want)[None])
+    assert int(n[0]) / (h * w) < 0.01
+
+
 def _color_page(h=96, w=120):
     """Color gradients + blocks: exercises ACE's chromatic correction."""
     y = np.linspace(0, 255, h, dtype=np.float32)[:, None]
