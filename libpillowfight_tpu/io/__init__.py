@@ -117,7 +117,8 @@ def _decode_pnm_py(path: str) -> np.ndarray:
         dt = ">u2" if maxv > 255 else np.uint8
         raw = np.frombuffer(data, dt, count=h * w * ch, offset=pos)
     elif magic in (b"P2", b"P3"):
-        raw = np.fromstring(data[pos:], dtype=int, sep=" ")[: h * w * ch]  # noqa: NPY201
+        toks = data[pos:].split()
+        raw = np.array([int(t) for t in toks[: h * w * ch]], dtype=np.int64)
     else:
         raise ValueError(f"unsupported PNM magic {magic!r} in {path}")
     raw = raw.astype(np.uint32).reshape(h, w, ch)

@@ -154,7 +154,8 @@ def _dilate_cheb(r, k):
 # ------------------------------------------------------------------ reach
 
 def _flood_sweep_kernel(m_ref, r_ref, out_ref, chg_ref, carry_ref, *,
-                        tile_h, width, n_tiles, inner_rounds, down, leap):
+                        tile_h, width, n_tiles, inner_rounds, down, leap,
+                        unroll_lanes):
     """One band step of a directional flood sweep.
 
     carry scratch holds [2, hr, W] int32: the mask rows and the freshly
@@ -179,7 +180,7 @@ def _flood_sweep_kernel(m_ref, r_ref, out_ref, chg_ref, carry_ref, *,
         r = jnp.concatenate([r_in, halo_r], axis=0)
 
     for _ in range(inner_rounds):
-        r = _seg_or_doubling(r, m, 1, width, unroll_lanes=True)
+        r = _seg_or_doubling(r, m, 1, width, unroll_lanes=unroll_lanes)
         r = _seg_or_doubling(r, m, 0, tile_h + hr)
         r = _dilate_cheb(r, leap) & m
 
@@ -225,6 +226,11 @@ def _flood_sweep(reach: jax.Array, mask: jax.Array, down: bool,
     kernel = functools.partial(
         _flood_sweep_kernel, tile_h=tile_h, width=wp, n_tiles=n_tiles,
         inner_rounds=inner_rounds, down=down, leap=leap,
+        # unrolled lane doubling holds ~2 extra band-sized live values per
+        # step; only safe while the band fits the scoped-VMEM stack.
+        # Very wide pages (tile_h clamped at 32, 32*wp > _TILE_CELLS)
+        # fall back to the fori_loop + dynamic-rotate form.
+        unroll_lanes=(tile_h * wp) <= _TILE_CELLS,
     )
     jmap = (lambda bb, i: (bb, i, 0)) if down else (
         lambda bb, i: (bb, n_tiles - 1 - i, 0))
@@ -367,7 +373,8 @@ def _neighbor_min8(lab, big):
 
 
 def _label_sweep_kernel(m_ref, l_ref, out_ref, chg_ref, carry_ref, *,
-                        tile_h, width, n_tiles, inner_rounds, big, down):
+                        tile_h, width, n_tiles, inner_rounds, big, down,
+                        unroll_lanes):
     """One band step of directional min-label propagation. carry scratch
     [2, 1, W] int32: mask row + freshly computed label row of the
     trailing side of the band processed just before this one."""
@@ -390,7 +397,8 @@ def _label_sweep_kernel(m_ref, l_ref, out_ref, chg_ref, carry_ref, *,
         lab = jnp.concatenate([l_in, halo_l], axis=0)
 
     for _ in range(inner_rounds):
-        lab = _seg_min_doubling(lab, m, 1, width, big, unroll_lanes=True)
+        lab = _seg_min_doubling(lab, m, 1, width, big,
+                                unroll_lanes=unroll_lanes)
         lab = _seg_min_doubling(lab, m, 0, tile_h + 1, big)
         lab = jnp.where(m != 0, _neighbor_min8(lab, big), big)
 
@@ -420,6 +428,7 @@ def _label_sweep(labels: jax.Array, mask: jax.Array, down: bool, big: int,
     kernel = functools.partial(
         _label_sweep_kernel, tile_h=tile_h, width=wp, n_tiles=n_tiles,
         inner_rounds=inner_rounds, big=big, down=down,
+        unroll_lanes=(tile_h * wp) <= _TILE_CELLS,  # see _flood_sweep
     )
     jmap = (lambda bb, i: (bb, i, 0)) if down else (
         lambda bb, i: (bb, n_tiles - 1 - i, 0))

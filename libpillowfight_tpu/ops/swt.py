@@ -453,9 +453,14 @@ def _letter_mask_one(gray, swt_minus, swt_plus, max_letters, max_valid):
     ry1 = ymax[rep_idx]
     rx0 = xmin[rep_idx]
     rx1 = xmax[rep_idx]
+    # nesting is counted within a polarity pass (the oracle runs the
+    # nested filter per swt_polarity call), so cross-polarity containment
+    # must not count; a rep's polarity is its representative pixel's
+    r_neg = neg.reshape(-1)[jnp.minimum(rep_idx, h * w - 1)]
     contains = (
         (ry0[:, None] <= ry0[None, :]) & (ry1[:, None] >= ry1[None, :])
         & (rx0[:, None] <= rx0[None, :]) & (rx1[:, None] >= rx1[None, :])
+        & (r_neg[:, None] == r_neg[None, :])
         & r_ok[:, None] & r_ok[None, :]
         & ~jnp.eye(max_letters, dtype=bool)
     )
@@ -542,7 +547,7 @@ def swt(
     output_type: int = C.SWT_OUTPUT_BW_TEXT,
     max_rays: int | None = None,
     max_len: int = C.SWT_MAX_RAY_LEN,
-    max_letters: int = 512,
+    max_letters: int = 1024,
     max_valid: int | None = None,
     max_edges: int | None = None,  # legacy alias for max_rays
 ) -> jax.Array:
@@ -551,16 +556,21 @@ def swt(
     max_rays bounds the compacted valid-ray list for the median clamp
     (default H*W//32, per polarity); max_len bounds ray length in pixels;
     max_valid bounds the compacted stroke-pixel list for component
-    statistics (default H*W//8, shared by both polarity passes — their
+    statistics (default H*W//4, shared by both polarity passes — their
     gated pixel sets are disjoint); max_letters bounds the nested-box
-    candidate list (total across both polarities).
+    candidate list (total across both polarities; nesting itself is
+    counted per polarity, matching the oracle's per-pass filter).
     """
     pages, unb = ensure_batched(pages)
     _, h, w, _ = pages.shape
     if max_rays is None:
         max_rays = max_edges if max_edges is not None else max(h * w // 32, 256)
     if max_valid is None:
-        max_valid = max(h * w // 8, 512)
+        # shared by BOTH polarity passes (their gated pixel sets are
+        # disjoint): h*w//4 gives each pass the h*w//8 budget the
+        # previous two-pass formulation had, so dense mixed-polarity
+        # pages don't silently truncate component pixels
+        max_valid = max(h * w // 4, 1024)
     out = jax.vmap(
         lambda p: _swt_one(p, output_type, max_rays, max_len, max_letters,
                            max_valid)

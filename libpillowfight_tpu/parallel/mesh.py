@@ -54,8 +54,13 @@ def pallas_backend_ok() -> bool:
     if in_spatial_sharding():
         return False
     dev = jax.config.jax_default_device
-    if dev is not None and getattr(dev, "platform", None) == "cpu":
-        return False
+    if dev is not None:
+        # jax accepts both Device objects and platform strings here
+        # (jax.default_device("cpu")); handle both forms
+        platform = dev.lower() if isinstance(dev, str) else getattr(
+            dev, "platform", None)
+        if platform == "cpu":
+            return False
     return jax.default_backend() not in ("cpu",)
 
 

@@ -13,6 +13,17 @@ def _img(rng, h, w):
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
 
 
+@pytest.fixture(params=["native", "python"], autouse=True)
+def codec_path(request, monkeypatch):
+    """Run every codec test through BOTH decode paths: the native
+    libpfio.so and the pure-python fallback (forced by nulling _load)."""
+    if request.param == "python":
+        monkeypatch.setattr(pfio, "_load", lambda: None)
+    elif not pfio.available():
+        pytest.skip("native libpfio not built")
+    return request.param
+
+
 def test_ppm_roundtrip(rng, tmp_path):
     img = _img(rng, 37, 53)
     p = str(tmp_path / "x.ppm")
