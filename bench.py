@@ -49,11 +49,16 @@ def _bench_tpu(pages, iters=3):
         DOCUMENT_CLEANUP, normalize_spec, run_pipeline,
     )
 
+    from libpillowfight_tpu.core.bitmap import host_pages_to_words
+
     spec = normalize_spec(DOCUMENT_CLEANUP)
     # two distinct device-resident dirty batches: every timed iteration
     # processes a FRESH page (output-feeds-input chaining would hand later
     # iterations an already-clean page, understating the flood-fill work)
-    xs = [jnp.asarray(pages), jnp.asarray(_pages(*pages.shape[:3], seed=1))]
+    # Transport form: u32 words (free host-side view; the u8 last-dim-4
+    # layout wastes TPU lanes — bitmap.pages_to_words)
+    xs = [jnp.asarray(host_pages_to_words(pages)),
+          jnp.asarray(host_pages_to_words(_pages(*pages.shape[:3], seed=1)))]
     fn = jax.jit(lambda p: run_pipeline(p, spec))
 
     def fetch(o):

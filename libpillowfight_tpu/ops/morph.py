@@ -246,6 +246,15 @@ def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 8,
     """
     assert leap == 1 or connectivity == 8, "leap requires 8-connectivity"
     if connectivity == 8 and _use_pallas_flood():
+        from .pallas.flood_packed import flood_reach_packed, packed_fits
+
+        b, h, w = mask.shape
+        if packed_fits(h, w):
+            # bit-packed whole-page kernel: 32 rows/word, full fixed
+            # point in VMEM — ~8x faster than the band sweeps on v5e
+            return flood_reach_packed(seeds, mask,
+                                      max_iters=min(max_iters, 512),
+                                      leap=leap)
         from .pallas.flood_kernel import flood_reach_pallas
 
         return flood_reach_pallas(seeds, mask, max_iters=min(max_iters, 512),

@@ -21,15 +21,13 @@ from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
 from .common import block_sums, coverage_from_blocks, nonwhite_mask, wipe_white
 
 
-def blurfilter_wipe(
-    gray: jax.Array,
+def blurfilter_wipe_nonwhite(
+    mask: jax.Array,
     size: int = C.BLURFILTER_SIZE,
     step: int = C.BLURFILTER_STEP,
     intensity: float = C.BLURFILTER_INTENSITY,
 ) -> jax.Array:
-    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
-    mask = nonwhite_mask(gray)
-
+    """Decision core on a precomputed non-white plane (bool [B,H,W])."""
     ratios = block_sums(mask, size, step) / float(size * size)
     d = max(size // step, 1)
     # max over the 8 neighbor cells at offset d (edge cells: missing
@@ -47,7 +45,17 @@ def blurfilter_wipe(
     # a smudge block: contains few-but-some dark pixels, and every
     # surrounding block is also virtually clean
     lonely = (ratios > 0) & (ratios <= intensity) & (neighbor_max <= intensity)
-    return coverage_from_blocks(lonely, gray.shape, size, step) & mask
+    return coverage_from_blocks(lonely, mask.shape, size, step) & mask
+
+
+def blurfilter_wipe(
+    gray: jax.Array,
+    size: int = C.BLURFILTER_SIZE,
+    step: int = C.BLURFILTER_STEP,
+    intensity: float = C.BLURFILTER_INTENSITY,
+) -> jax.Array:
+    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
+    return blurfilter_wipe_nonwhite(nonwhite_mask(gray), size, step, intensity)
 
 
 def unpaper_blurfilter(pages: jax.Array, **kwargs) -> jax.Array:

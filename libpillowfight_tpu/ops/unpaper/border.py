@@ -42,15 +42,14 @@ def _border_extent(line_counts: jax.Array, extent: int, size: int, step: int,
     return first * step
 
 
-def border_wipe(
-    gray: jax.Array,
+def border_wipe_dark(
+    dark: jax.Array,
     scan_size: int = C.BORDER_SCAN_SIZE,
     scan_step: int = C.BORDER_SCAN_STEP,
     scan_threshold: float = C.BORDER_SCAN_THRESHOLD,
 ) -> jax.Array:
-    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
-    dark = dark_mask(gray)
-    b, h, w = gray.shape
+    """Decision core on a precomputed dark plane (bool [B,H,W])."""
+    b, h, w = dark.shape
 
     row_counts = jnp.sum(dark, axis=2, dtype=jnp.float32)  # [B, H]
     col_counts = jnp.sum(dark, axis=1, dtype=jnp.float32)  # [B, W]
@@ -66,6 +65,17 @@ def border_wipe(
         (ys < top[:, None, None]) | (ys >= (h - bottom)[:, None, None])
         | (xs < left[:, None, None]) | (xs >= (w - right)[:, None, None])
     )
+
+
+def border_wipe(
+    gray: jax.Array,
+    scan_size: int = C.BORDER_SCAN_SIZE,
+    scan_step: int = C.BORDER_SCAN_STEP,
+    scan_threshold: float = C.BORDER_SCAN_THRESHOLD,
+) -> jax.Array:
+    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
+    return border_wipe_dark(dark_mask(gray), scan_size, scan_step,
+                            scan_threshold)
 
 
 def unpaper_border(pages: jax.Array, **kwargs) -> jax.Array:

@@ -18,6 +18,23 @@ from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
 from .common import block_sums, coverage_from_blocks, dark_mask, wipe_white
 
 
+def grayfilter_wipe_planes(
+    dark: jax.Array,
+    gray: jax.Array,
+    size: int = C.GRAYFILTER_SIZE,
+    step: int = C.GRAYFILTER_STEP,
+    threshold: float = C.GRAYFILTER_THRESHOLD,
+) -> jax.Array:
+    """Decision core on a precomputed dark plane (bool) + gray values
+    (f32; may be a lazy where(acc, 255, gray0) expression — XLA fuses it
+    into the block reduction, so no threaded gray plane materializes)."""
+    dark_counts = block_sums(dark, size, step)
+    mean_gray = block_sums(gray, size, step) / float(size * size)
+    wipe_blocks = (dark_counts == 0) & (mean_gray > 255.0 * (1.0 - threshold))
+
+    return coverage_from_blocks(wipe_blocks, gray.shape, size, step)
+
+
 def grayfilter_wipe(
     gray: jax.Array,
     size: int = C.GRAYFILTER_SIZE,
@@ -25,11 +42,7 @@ def grayfilter_wipe(
     threshold: float = C.GRAYFILTER_THRESHOLD,
 ) -> jax.Array:
     """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
-    dark_counts = block_sums(dark_mask(gray), size, step)
-    mean_gray = block_sums(gray, size, step) / float(size * size)
-    wipe_blocks = (dark_counts == 0) & (mean_gray > 255.0 * (1.0 - threshold))
-
-    return coverage_from_blocks(wipe_blocks, gray.shape, size, step)
+    return grayfilter_wipe_planes(dark_mask(gray), gray, size, step, threshold)
 
 
 def unpaper_grayfilter(pages: jax.Array, **kwargs) -> jax.Array:

@@ -67,19 +67,18 @@ def _mask_edge(line_counts: jax.Array, perp_extent: int, center: int, size: int,
     return jnp.where(any_blank, edge, n)
 
 
-def masks_wipe(
-    gray: jax.Array,
+def masks_wipe_dark(
+    dark: jax.Array,
     scan_size: int = C.MASKS_SCAN_SIZE,
     scan_step: int = C.MASKS_SCAN_STEP,
     scan_threshold: float = C.MASKS_SCAN_THRESHOLD,
     starts: tuple | None = None,
 ) -> jax.Array:
-    """Wipe mask from a gray plane f32 [B,H,W] (decision core).
+    """Decision core on a precomputed dark plane (bool [B,H,W]).
 
     starts: optional tuple of (y, x) pixel start points (static ints);
     None means the single page-center point, unpaper's default."""
-    dark = dark_mask(gray)
-    b, h, w = gray.shape
+    b, h, w = dark.shape
     if starts is None:
         starts = ((h // 2, w // 2),)
 
@@ -101,6 +100,18 @@ def masks_wipe(
         )
         keep = rect if keep is None else (keep | rect)
     return ~keep
+
+
+def masks_wipe(
+    gray: jax.Array,
+    scan_size: int = C.MASKS_SCAN_SIZE,
+    scan_step: int = C.MASKS_SCAN_STEP,
+    scan_threshold: float = C.MASKS_SCAN_THRESHOLD,
+    starts: tuple | None = None,
+) -> jax.Array:
+    """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
+    return masks_wipe_dark(dark_mask(gray), scan_size, scan_step,
+                           scan_threshold, starts)
 
 
 def unpaper_masks(pages: jax.Array, **kwargs) -> jax.Array:

@@ -21,12 +21,18 @@ from ..morph import small_cluster_mask
 from .common import nonwhite_mask, wipe_white
 
 
+def noisefilter_wipe_nonwhite(
+    nonwhite: jax.Array, intensity: int = C.NOISEFILTER_INTENSITY
+) -> jax.Array:
+    """Decision core on a precomputed non-white plane (bool [B,H,W])."""
+    return small_cluster_mask(nonwhite, intensity, connectivity=8)
+
+
 def noisefilter_wipe(
     gray: jax.Array, intensity: int = C.NOISEFILTER_INTENSITY
 ) -> jax.Array:
     """Wipe mask from a gray plane f32 [B,H,W] (decision core)."""
-    mask = nonwhite_mask(gray)
-    return small_cluster_mask(mask, intensity, connectivity=8)
+    return noisefilter_wipe_nonwhite(nonwhite_mask(gray), intensity)
 
 
 def unpaper_noisefilter(pages: jax.Array, **kwargs) -> jax.Array:

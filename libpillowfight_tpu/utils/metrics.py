@@ -44,6 +44,64 @@ def timed_fetch(fn, x, iters: int = 3):
     return (time.perf_counter() - t0) / iters, out
 
 
+def device_time(fn, *args, iters: int = 8):
+    """Device-side seconds per call of `fn(*args)`, measured free of the
+    host<->device tunnel RTT.
+
+    Builds ONE jitted program that runs `fn` in a lax.scan dependency
+    chain of K sequential calls (each call's first argument is perturbed
+    by a runtime-zero derived from the previous output, so XLA cannot
+    parallelize or elide iterations) and fetches a single scalar. Wall
+    time is then RTT + K * t_device + c; timing the chain at K and 2K and
+    differencing cancels RTT and every per-dispatch constant:
+        t_device = (wall(2K) - wall(K)) / K.
+    This is the `device_ms` figure BENCH_DETAIL reports — the roofline
+    denominators come from here, not from RTT-polluted wall clocks.
+    """
+    flat, treedef = jax.tree.flatten(args)
+    # index of the first non-bool numeric leaf: the perturbation target
+    # (bool fallback: XOR with a runtime-false derived from the token)
+    tgt = next((i for i, leaf in enumerate(flat)
+                if jnp.asarray(leaf).dtype != jnp.bool_), 0)
+
+    def chained(k):
+        @jax.jit
+        def run(flat):
+            def body(tok, _):
+                cur = list(flat)
+                a0 = jnp.asarray(cur[tgt])
+                # runtime-zero: float mul is not folded by XLA (NaN/inf
+                # semantics), so the dependency is real but exact-zero
+                if a0.dtype == jnp.bool_:
+                    cur[tgt] = a0 ^ ((tok * 0.0) > 1.0)
+                else:
+                    cur[tgt] = a0 + (tok * 0.0).astype(a0.dtype)
+                out = fn(*jax.tree.unflatten(treedef, cur))
+                # optimization_barrier forces the FULL output to be
+                # computed (without it XLA dead-code-eliminates whatever
+                # the scalar token below doesn't touch)
+                out = jax.lax.optimization_barrier(out)
+                leaf = jnp.asarray(jax.tree.leaves(out)[0])
+                tok2 = leaf.reshape(-1)[0].astype(jnp.float32)
+                return jnp.where(jnp.isfinite(tok2), tok2, 0.0) * 1e-20, ()
+            tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+            return tok
+        return run
+
+    run_k, run_2k = chained(iters), chained(2 * iters)
+    float(run_k(flat))   # compile + warm
+    float(run_2k(flat))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run_k(flat))
+        t1 = time.perf_counter()
+        float(run_2k(flat))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / iters)
+    return max(best, 0.0)
+
+
 @dataclass
 class RooflineReport:
     seconds: float

@@ -160,6 +160,27 @@ def test_fused_unpaper_group_matches_sequential(rng):
     np.testing.assert_array_equal(fused, np.asarray(seq))
 
 
+def test_pipeline_words_transport_matches_u8(rng):
+    """The u32-word transport form (bitmap.host_pages_to_words — the fast
+    TPU layout) must produce byte-identical output to the u8 RGBA path."""
+    from libpillowfight_tpu.core.bitmap import (
+        host_pages_to_words, host_words_to_pages)
+
+    pages = np.full((2, 300, 260, 4), 245, np.uint8)
+    pages[..., 3] = 255
+    pages[:, :, :10, :3] = 0
+    pages[:, 120:124, 30:230, :3] = 15
+    ys = rng.integers(0, 300, 40)
+    xs = rng.integers(15, 260, 40)
+    pages[:, ys, xs, :3] = 30
+    spec = normalize_spec(DOCUMENT_CLEANUP)
+    a = np.asarray(run_pipeline(jnp.asarray(pages), spec))
+    w = np.asarray(run_pipeline(
+        jnp.asarray(host_pages_to_words(pages)), spec))
+    assert w.dtype == np.uint32 and w.shape == pages.shape[:3]
+    np.testing.assert_array_equal(a, host_words_to_pages(w))
+
+
 def test_batch_runner_steals_from_dead_host(tmp_path):
     """Failure RESPONSE (SURVEY §5): a 2-host batch where host 1 dies
     after one chunk — host 0 must detect the stale heartbeat and

@@ -82,6 +82,37 @@ def test_flood_reach_compiled_exact(rng):
         np.testing.assert_array_equal(got[b], ref)
 
 
+def test_flood_packed_compiled_exact(rng):
+    from libpillowfight_tpu.ops.pallas.flood_packed import flood_reach_packed
+
+    mask = rng.random((2, 1217, 933)) < 0.55
+    seeds = np.zeros_like(mask)
+    seeds[:, 0, :] = mask[:, 0, :]
+    got = np.asarray(flood_reach_packed(jnp.asarray(seeds), jnp.asarray(mask)))
+    for b in range(2):
+        lab, _ = ndimage.label(mask[b], structure=_ST8)
+        sl = np.unique(lab[seeds[b]])
+        ref = np.isin(lab, sl[sl > 0])
+        np.testing.assert_array_equal(got[b], ref)
+
+
+def test_flood_packed_leap_compiled(rng):
+    """Gap-leap parity between the packed and band kernels at a
+    blackfilter-like shape (the packed path is the production default)."""
+    from libpillowfight_tpu.ops.pallas.flood_kernel import flood_reach_pallas
+    from libpillowfight_tpu.ops.pallas.flood_packed import flood_reach_packed
+
+    mask = rng.random((1, 1100, 800)) < 0.35
+    mask[:, :, :30] = True
+    seeds = np.zeros_like(mask)
+    seeds[:, 500, 5] = True
+    a = np.asarray(flood_reach_packed(
+        jnp.asarray(seeds), jnp.asarray(mask), leap=20))
+    b = np.asarray(flood_reach_pallas(
+        jnp.asarray(seeds), jnp.asarray(mask), leap=20))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_labels_compiled_exact(rng):
     from libpillowfight_tpu.ops.pallas.flood_kernel import label_components_pallas
 
