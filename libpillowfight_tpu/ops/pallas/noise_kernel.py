@@ -73,6 +73,25 @@ def _popcount32(v):
     return v.astype(jnp.int32)
 
 
+def _popcount_words(words):
+    """Total popcount over a list of uint32 planes. Words merge in
+    groups of 3 at the 4-bit-count stage (fields <= 4 each, <= 12
+    summed <= 15; the byte stage then holds <= 24) — fewer ops than
+    summing full per-word popcounts."""
+    u = jnp.uint32
+    total = None
+    for i in range(0, len(words), 3):
+        acc = None
+        for v in words[i : i + 3]:
+            c2 = v - ((v >> u(1)) & u(0x55555555))
+            c4 = (c2 & u(0x33333333)) + ((c2 >> u(2)) & u(0x33333333))
+            acc = c4 if acc is None else acc + c4
+        acc = (acc & u(0x0F0F0F0F)) + ((acc >> u(4)) & u(0x0F0F0F0F))
+        s = ((acc * u(0x01010101)) >> u(24)).astype(jnp.int32)
+        total = s if total is None else total + s
+    return total
+
+
 def _board_consts(k: int):
     """Static per-word constants for the (2k+1)^2-bit board."""
     s = 2 * k + 1
@@ -145,15 +164,25 @@ def _noise_band_kernel(m_ref, out_ref, carry_ref, *, tile_h, width, k):
             m_words[w + 1] = m_words[w + 1] | (strip >> u(32 - o))
     m_words = [m_words[w] & board[w] for w in range(nw)]
 
-    # reach init: center bit where the pixel itself is mask
+    # reach init + analytic first step: from the center bit, one king
+    # move reaches exactly the 3x3 board bits around center that are in
+    # the window mask — no shifts needed for step 1
     center = m_ext[k : k + tile_h]
     cbit = k * s + k
-    cw, co = divmod(cbit, 32)
-    r = [jnp.where(center != 0, u(1 << co), u(0)) if w == cw
-         else jnp.zeros((tile_h, width), jnp.uint32) for w in range(nw)]
+    neigh3 = []
+    for w in range(nw):
+        bits = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                b = cbit + dy * s + dx
+                if w * 32 <= b < w * 32 + 32:
+                    bits |= 1 << (b - w * 32)
+        neigh3.append(u(bits))
+    r = [jnp.where(center != 0, m_words[w] & neigh3[w], u(0))
+         for w in range(nw)]
 
-    # k separable bit-plane dilation steps gated by the window mask
-    for _ in range(k):
+    # k-1 remaining separable bit-plane dilation steps gated by the mask
+    for _ in range(k - 1):
         shp = _shift_board(r, 1, nw, val_p)
         shm = _shift_board(r, -1, nw, val_m)
         t = [r[w] | shp[w] | shm[w] for w in range(nw)]
@@ -161,9 +190,7 @@ def _noise_band_kernel(m_ref, out_ref, carry_ref, *, tile_h, width, k):
         dn = _shift_board(t, -s, nw, board)
         r = [(t[w] | up[w] | dn[w]) & m_words[w] for w in range(nw)]
 
-    size = _popcount32(r[0])
-    for w in range(1, nw):
-        size = size + _popcount32(r[w])
+    size = _popcount_words(r)
     out_ref[0] = ((center != 0) & (size <= k)).astype(jnp.int8)
     carry_ref[:] = m_band[tile_h - 2 * k :]
 

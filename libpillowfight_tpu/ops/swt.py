@@ -60,7 +60,10 @@ from .gaussian import gaussian_on_matrix
 from .morph import label_components_links
 from .sobel import sobel_on_matrix
 
-_INF = jnp.float32(1e9)
+# plain float, not jnp.float32: a module-level jnp scalar would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize (it must run before backend init)
+_INF = 1e9
 
 # 16 primitive direction vectors (dy, dx), ordered by angle; class k + 8
 # is the opposite direction. Knight moves carry an intermediate cell

@@ -150,8 +150,13 @@ class BatchRunner:
             f.write(str(self.host_id))
         return True
 
-    def _process_chunk(self, start: int, total_pages: int, source, sink,
-                       m: BatchMetrics) -> None:
+    def _dispatch_chunk(self, start: int, total_pages: int, source) -> dict:
+        """Load a chunk from the source and enqueue transfer + compute.
+        Returns immediately (JAX dispatch is async): the H2D transfer and
+        the XLA program run while the host loads the NEXT chunk and
+        while the previous chunk's results stream back — the pipelined
+        run() keeps one chunk in flight, overlapping H2D, compute, and
+        D2H (SURVEY.md §7 hard-part 5: overlap loading with compute)."""
         n = min(self.chunk_size, total_pages - start)
         idx = np.arange(start, start + n)
         pages = np.asarray(source(idx))
@@ -162,34 +167,70 @@ class BatchRunner:
         if pad:
             pages = np.concatenate([pages, np.repeat(pages[:1], pad, 0)])
         t0 = time.perf_counter()
+        sharded = shard_pages(jax.numpy.asarray(pages), self.mesh)
+        # wait for the H2D transfer ONLY (not the compute): the source's
+        # double buffer may be recycled as soon as we return, and this
+        # wait runs while the device still computes the previous chunk
+        jax.block_until_ready(sharded)
+        return {"start": start, "n": n, "idx": idx, "t0": t0,
+                "shape": pages.shape, "out": self.fn(sharded)}
+
+    def _complete_chunk(self, info: dict, source, sink,
+                        m: BatchMetrics) -> None:
+        """Block on a dispatched chunk's results, deliver, and record.
+        Async execution errors surface here; retries re-fetch the chunk
+        from the source (its buffer may have been recycled) and re-run
+        synchronously."""
         for attempt in range(self.max_retries + 1):
             try:
-                sharded = shard_pages(jax.numpy.asarray(pages), self.mesh)
-                out = self.fn(sharded)
-                out = jax.block_until_ready(out)
+                out = np.asarray(jax.block_until_ready(info["out"]))
                 break
             except Exception:
                 if attempt == self.max_retries:
                     raise
                 m.retries += 1
-        dt = time.perf_counter() - t0
+                pages = np.asarray(source(info["idx"]))
+                n_pages_axis = self.mesh.shape[self.mesh.axis_names[0]]
+                pad = -len(pages) % n_pages_axis
+                if pad:
+                    pages = np.concatenate(
+                        [pages, np.repeat(pages[:1], pad, 0)])
+                sharded = shard_pages(jax.numpy.asarray(pages), self.mesh)
+                info["out"] = self.fn(sharded)
+        dt = time.perf_counter() - info["t0"]
+        n = info["n"]
         if sink is not None:
-            sink(idx, np.asarray(out)[:n])
-        self._mark_done(start, n, dt)
+            sink(info["idx"], out[:n])
+        self._mark_done(info["start"], n, dt)
         m.pages += n
-        m.megapixels += n * pages.shape[1] * pages.shape[2] / 1e6
+        m.megapixels += n * info["shape"][1] * info["shape"][2] / 1e6
         m.chunks += 1
         m.chunk_seconds.append(dt)
+
+    def _process_chunk(self, start: int, total_pages: int, source, sink,
+                       m: BatchMetrics) -> None:
+        """Serial dispatch + complete (used by the steal path)."""
+        self._complete_chunk(
+            self._dispatch_chunk(start, total_pages, source), source, sink, m)
 
     def run(self, total_pages: int, source, sink=None) -> BatchMetrics:
         m = BatchMetrics()
         t_all = time.perf_counter()
         all_starts = list(range(0, total_pages, self.chunk_size))
-        # phase 1: this host's own chunks
+        # phase 1: this host's own chunks, software-pipelined one deep —
+        # chunk i+1's host load + H2D run while chunk i computes, and
+        # chunk i's D2H + sink run while i+1 computes. Peak device
+        # memory holds two chunks' in/out buffers; size chunks for it.
+        pending = None
         for start in all_starts:
             if start in self._done or self._owner(start) != self.host_id:
                 continue
-            self._process_chunk(start, total_pages, source, sink, m)
+            info = self._dispatch_chunk(start, total_pages, source)
+            if pending is not None:
+                self._complete_chunk(pending, source, sink, m)
+            pending = info
+        if pending is not None:
+            self._complete_chunk(pending, source, sink, m)
         # phase 2 (failure response): steal unfinished chunks from stale
         # hosts; wait on live peers until the whole batch is complete
         while self.heartbeat is not None and self.n_hosts > 1:

@@ -31,8 +31,10 @@ def initialize_distributed(coordinator: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # tolerate ONLY re-initialization; real failures must surface
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_host_mesh() -> Mesh:

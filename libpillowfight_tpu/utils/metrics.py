@@ -91,15 +91,16 @@ def device_time(fn, *args, iters: int = 8):
     run_k, run_2k = chained(iters), chained(2 * iters)
     float(run_k(flat))   # compile + warm
     float(run_2k(flat))
-    best = float("inf")
-    for _ in range(2):
+    diffs = []
+    for _ in range(3):
         t0 = time.perf_counter()
         float(run_k(flat))
         t1 = time.perf_counter()
         float(run_2k(flat))
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / iters)
-    return max(best, 0.0)
+        diffs.append(((t2 - t1) - (t1 - t0)) / iters)
+    diffs.sort()
+    return max(diffs[len(diffs) // 2], 0.0)  # median: robust to jitter
 
 
 @dataclass
