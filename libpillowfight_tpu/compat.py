@@ -49,18 +49,19 @@ def _out(arr):
 
 
 def ace(img, slope=C.ACE_DEFAULT_SLOPE, limit=C.ACE_DEFAULT_LIMIT,
-        samples=C.ACE_DEFAULT_NB_SAMPLES, seed=None, mode="shared"):
+        samples=C.ACE_DEFAULT_NB_SAMPLES, seed=None, mode="rolled"):
     """ref: pillowfight.ace(img, slope=10, limit=1000, samples=100, seed=None).
 
-    DOCUMENTED DEVIATION (PARITY.md #15): the default estimator is the
-    shared-spray approximation — one set of `samples` random points per
-    page, shared by every pixel — not upstream's per-pixel independent
-    spray. It equalizes against the same global distribution; measured
-    against the reference-faithful estimator its channel means drift
-    <= 7.5/255 and stds stay within 20% (pinned by
-    tests/test_golden_oracle.py::test_ace_distributional_vs_oracle).
-    Pass mode="per_pixel" for the faithful per-pixel estimator
-    (gather-bound: ~2 orders of magnitude slower on TPU)."""
+    Default estimator is "rolled": per-pixel sampling via shared random
+    offsets — every pixel's `samples` draws are exactly i.i.d. uniform
+    over the page, so the per-pixel estimator distribution matches
+    upstream's faithfully (pinned at the per_pixel-grade tolerance by
+    tests/test_golden_oracle.py::test_ace_distributional_vs_oracle),
+    while running dense at shared-spray speed. Remaining deviation
+    (PARITY.md #15): cross-pixel sample correlation differs from
+    upstream's fully independent draws. Pass mode="per_pixel" for fully
+    independent sampling (gather-bound, much slower on TPU), or
+    mode="shared" for the fastest single-spray approximation."""
     seed = C.ACE_DEFAULT_SEED if seed is None else int(seed)
     return _out(_ace(
         _in(img), nb_samples=int(samples), slope=float(slope),

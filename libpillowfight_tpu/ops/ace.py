@@ -13,7 +13,16 @@ TPU re-design, two estimators:
   page — no gathers at all. This is the Monte-Carlo "random spray"
   estimator with a shared spray; statistically it equalizes against the
   same global sample distribution the reference draws from.
-* ``mode="per_pixel"``: faithful per-pixel independent sampling via
+* ``mode="rolled"`` (the compat default): per-pixel sampling by shared
+  random *offsets*: sample s of pixel p is (p + D_s) mod (H, W) with
+  D_s drawn uniform per step. Because D_s is uniform, every pixel's S
+  samples are exactly i.i.d. uniform over the page — the per-pixel
+  MARGINAL estimator distribution is identical to the reference's
+  (unlike "shared", whose fixed spray correlates errors around sample
+  points) — while the gather collapses to a dense jnp.roll per sample:
+  S streaming sweeps, no random access. Cross-pixel joint correlation
+  still differs from upstream's fully independent draws (PARITY.md #15).
+* ``mode="per_pixel"``: fully independent per-pixel sampling via
   counter-based jax.random + flat gathers, chunked over samples to bound
   memory. Matches the reference's estimator exactly (up to RNG), at
   gather speed.
@@ -132,6 +141,42 @@ def ace_with_pixel_samples(pages: jax.Array, idx: jax.Array, slope: float,
     return jnp.concatenate([_rescale(num / den), pages[..., 3:]], axis=-1)
 
 
+def _ace_rolled(pages: jax.Array, key: jax.Array, nb_samples: int,
+                slope: float, limit: float) -> jax.Array:
+    """Per-pixel-faithful sampling via shared random offsets (see module
+    docstring): X_{p,s} = (p + D_s) mod (H, W), evaluated as one dense
+    roll + elementwise pass per sample under lax.scan."""
+    b, h, w, _ = pages.shape
+    rgb = pages[..., :3].astype(jnp.float32)
+    ky, kx = jax.random.split(key)
+    dys = jax.random.randint(ky, (nb_samples, b), 0, h, dtype=jnp.int32)
+    dxs = jax.random.randint(kx, (nb_samples, b), 0, w, dtype=jnp.int32)
+
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def body(carry, inp):
+        num, den = carry
+        dy, dx = inp  # [B] each
+        rolled = jax.vmap(
+            lambda img, a, c: jnp.roll(img, (-a, -c), (0, 1)))(rgb, dy, dx)
+        # signed displacement to the actual (wrapped) sample position
+        ey = jnp.where(py[None] + dy[:, None, None] >= h,
+                       dy[:, None, None] - h, dy[:, None, None])
+        ex = jnp.where(px[None] + dx[:, None, None] >= w,
+                       dx[:, None, None] - w, dx[:, None, None])
+        d = jnp.maximum(jnp.sqrt((ey * ey + ex * ex).astype(jnp.float32)),
+                        1.0)[..., None]
+        delta = rgb - rolled
+        num = num + jnp.clip(slope * delta, -limit, limit) / d
+        den = den + limit / d
+        return (num, den), None
+
+    zeros = jnp.zeros((b, h, w, 3), jnp.float32)
+    (num, den), _ = jax.lax.scan(body, (zeros, zeros), (dys, dxs))
+    return jnp.concatenate([_rescale(num / den), pages[..., 3:]], axis=-1)
+
+
 def _ace_per_pixel(pages: jax.Array, key: jax.Array, nb_samples: int,
                    slope: float, limit: float, chunk: int = 8) -> jax.Array:
     """Faithful per-pixel independent sampling (gather-based)."""
@@ -201,6 +246,8 @@ def _ace_jit(pages, key, nb_samples, slope, limit, mode, use_pallas=False):
             out = _ace_with_samples_pallas(pages, sy, sx, slope, limit)
         else:
             out = ace_with_samples(pages, sy, sx, slope, limit)
+    elif mode == "rolled":
+        out = _ace_rolled(pages, key, nb_samples, slope, limit)
     elif mode == "per_pixel":
         out = _ace_per_pixel(pages, key, nb_samples, slope, limit)
     else:

@@ -74,3 +74,27 @@ def test_ace_batched_independent(rng, page):
     pages = jnp.asarray(np.stack([page, other]))
     out = np.asarray(ace(pages, nb_samples=16))
     assert out.shape == pages.shape
+
+
+def test_ace_rolled_matches_explicit_pixel_samples(rng, page):
+    """mode='rolled' arithmetic pinned: with the same offsets, rolled
+    must equal the explicit per-pixel-sample path with
+    idx[p, s] = ((p + D_s) mod (H, W)) flattened."""
+    import jax
+    from libpillowfight_tpu.ops.ace import _ace_rolled, ace_with_pixel_samples
+
+    h, w, _ = page.shape
+    s = 7
+    key = jax.random.PRNGKey(11)
+    ky, kx = jax.random.split(key)
+    dys = np.asarray(jax.random.randint(ky, (s, 1), 0, h, dtype=jnp.int32))
+    dxs = np.asarray(jax.random.randint(kx, (s, 1), 0, w, dtype=jnp.int32))
+    got = np.asarray(_ace_rolled(jnp.asarray(page)[None], key, s,
+                                 10.0, 1000.0)[0])
+    py, px = np.mgrid[0:h, 0:w]
+    idx = np.zeros((h, w, s), np.int32)
+    for j in range(s):
+        idx[..., j] = ((py + int(dys[j, 0])) % h) * w + (px + int(dxs[j, 0])) % w
+    want = np.asarray(ace_with_pixel_samples(
+        jnp.asarray(page)[None], jnp.asarray(idx)[None], 10.0, 1000.0)[0])
+    np.testing.assert_array_equal(got, want)
