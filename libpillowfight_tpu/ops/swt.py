@@ -47,6 +47,7 @@ Outputs (enum parity with the reference):
 
 from __future__ import annotations
 
+import operator
 from functools import partial
 
 import jax
@@ -54,7 +55,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import constants as C
-from ..core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
+from ..core.bitmap import (
+    ensure_batched,
+    maybe_unbatch,
+    pages_to_words,
+    words_to_gray,
+    words_to_pages,
+)
 from .canny import canny_edge_mask
 from .gaussian import gaussian_on_matrix
 from .morph import label_components_links
@@ -361,9 +368,75 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
 # letter components
 # --------------------------------------------------------------------------
 
-def _letter_mask_one(gray, swt_minus, swt_plus, max_letters, max_valid):
-    """Filter SWT components down to letter candidates — BOTH polarity
-    passes in one labeling + one statistics sweep.
+def _seg_chain(lab, payloads, ops, reverse=False, max_span=None):
+    """Per-element inclusive segmented reductions along the LAST axis of
+    a label array (elements with equal `lab` in a contiguous range form
+    a segment), by pointer doubling: after step 2^j each element has
+    reduced over all same-label elements within 2^j positions (toward
+    index 0, or toward the end with reverse=True). Same-label tests are
+    plain shifted compares — no gathers, no scatters, and sums stay
+    segment-local (full-array prefix-sum differencing would lose f32
+    precision at page scale).
+
+    payloads: list of arrays shaped like lab; ops: matching binary
+    reduction callables (jnp.minimum/jnp.maximum/operator.add).
+    max_span bounds the doubling (segments are guaranteed shorter).
+    """
+    n = lab.shape[-1] if max_span is None else min(max_span, lab.shape[-1])
+    big = jnp.int32(-1) if not reverse else jnp.int32(-2)
+
+    def shift(x, s, fill):
+        pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+        if reverse:
+            return jnp.concatenate([x[..., s:], pad], axis=-1)
+        return jnp.concatenate([pad, x[..., :-s]], axis=-1)
+
+    out = list(payloads)
+    s = 1
+    while s < n:
+        lab_s = shift(lab, s, big)
+        same = lab_s == lab
+        for i, op in enumerate(ops):
+            cand = shift(out[i], s, 0)
+            out[i] = jnp.where(same, op(out[i], cand), out[i])
+        s *= 2
+    return out
+
+
+def _median_gray(gray):
+    """Exact jnp.median of a gray plane [B,H,W] whose values are k/3 for
+    integer k in 0..765 (words_to_gray output), via histogram binary
+    search — ~10 fused compare+reduce sweeps instead of a full-page sort
+    (lax.sort of 8.7M elements measured ~200 ms on v5e; this is ~6 ms).
+    Returns [B] f32, bit-identical to jnp.median's arithmetic."""
+    b, h, w = gray.shape
+    s3 = jnp.round(gray * 3.0).astype(jnp.int32)
+    ntot = h * w
+
+    def count_le(t):
+        return jnp.sum((s3 <= t[:, None, None]).astype(jnp.int32),
+                       axis=(1, 2))
+
+    def kth(k):  # smallest value v with count_le(v) >= k (1-based rank)
+        lo = jnp.zeros((b,), jnp.int32)
+        hi = jnp.full((b,), 765, jnp.int32)
+        for _ in range(10):  # 2^10 > 766
+            mid = (lo + hi) // 2
+            ge = count_le(mid) >= k
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        return hi
+
+    if ntot % 2:
+        return kth((ntot + 1) // 2).astype(jnp.float32) / 3.0
+    a = kth(ntot // 2).astype(jnp.float32) / 3.0
+    c = kth(ntot // 2 + 1).astype(jnp.float32) / 3.0
+    return (a + c) / 2.0
+
+
+def _letter_mask_one(gray, swt_minus, swt_plus, med, max_letters, max_runs):
+    """Filter SWT components down to letter candidates for ONE page —
+    both polarity passes in one labeling + one statistics sweep.
 
     Returns (mask bool [H,W], boxes int32 [max_letters, 4] as
     (y0, y1, x0, x1), boxes_ok bool [max_letters]) — the boxes are the
@@ -377,13 +450,21 @@ def _letter_mask_one(gray, swt_minus, swt_plus, max_letters, max_valid):
     this rejects the page-spanning pseudo strokes that inter-letter
     gaps / blank pages produce. The two gated pixel sets are therefore
     DISJOINT, so both passes share one combined SWT plane; CC links add
-    a same-polarity condition, making each component single-polarity —
-    identical components and statistics to two separate passes at half
-    the labeling/scatter cost (the stats sweep is the dominant ~300 ms
-    of an A4 SWT on v5e).
+    a same-polarity condition, making each component single-polarity.
+
+    Statistics design — ROW-RUN aggregation. Earlier formulations were
+    measured (jax.profiler device trace, A4 on v5e): per-pixel
+    scatter-adds ~370 ms; full-page sort grouping ~450 ms (an 8.7M-
+    element lax.sort alone is ~200 ms). Here every maximal same-label
+    row run pre-aggregates its pixels with dense segmented doubling
+    chains along rows (runs are <= a stroke crossing wide, so the
+    chains stop at 2^9), runs compact through one nonzero (~#stroke
+    crossings, not #pixels), per-component statistics reduce over runs
+    with run-count-sized scatters into flat-index tables, and the
+    accepted-component decision paints back through the same runs — no
+    page-scale sorts, gathers, or scatters anywhere.
     """
     h, w = swt_minus.shape
-    med = jnp.median(gray)
     neg = gray < med
     pos = gray > med
     swt = jnp.where(neg, swt_minus, jnp.where(pos, swt_plus, _INF))
@@ -409,35 +490,56 @@ def _letter_mask_one(gray, swt_minus, swt_plus, max_letters, max_valid):
     links = {d: link(*d)[None] for d in ((0, 1), (1, 0), (1, 1), (1, -1))}
     labels = label_components_links(valid[None], links)[0]  # [H,W], bg = h*w
 
-    # ---- per-component statistics: compact the valid pixels first so the
-    # scatter-adds touch max_valid elements instead of the whole page
-    # (TPU scatters run at ~20M elem/s — SURVEY.md §5 roofline notes)
-    nb = h * w + 1
-    cy, cx = jnp.nonzero(valid, size=max_valid, fill_value=-1)
-    c_ok = cy >= 0
-    cys = jnp.maximum(cy, 0)
-    cxs = jnp.maximum(cx, 0)
-    c_lab = jnp.where(c_ok, labels[cys, cxs], h * w)
-    c_swt = jnp.where(c_ok, swt[cys, cxs], 0.0)
-    c_one = c_ok.astype(jnp.float32)
+    # ---- row runs: maximal same-label runs along each row. The run
+    # start holds the whole run's aggregates after one reverse
+    # (rightward-inclusive) segmented chain along the row.
+    n = h * w
+    lab = jnp.where(valid, labels, n)
+    lab_left = jnp.concatenate(
+        [jnp.full((h, 1), n, lab.dtype), lab[:, :-1]], axis=1)
+    run_start = valid & (lab != lab_left)
 
-    cnt = jnp.zeros(nb, jnp.float32).at[c_lab].add(c_one)
-    s1 = jnp.zeros(nb, jnp.float32).at[c_lab].add(c_swt)
-    s2 = jnp.zeros(nb, jnp.float32).at[c_lab].add(c_swt * c_swt)
-    ymin = jnp.full(nb, h, jnp.int32).at[c_lab].min(jnp.where(c_ok, cys, h))
-    ymax = jnp.zeros(nb, jnp.int32).at[c_lab].max(jnp.where(c_ok, cys, 0))
-    xmin = jnp.full(nb, w, jnp.int32).at[c_lab].min(jnp.where(c_ok, cxs, w))
-    xmax = jnp.zeros(nb, jnp.int32).at[c_lab].max(jnp.where(c_ok, cxs, 0))
+    ones = valid.astype(jnp.float32)
+    swt_v = jnp.where(valid, swt, 0.0)
+    r_cnt, r_s1, r_s2 = _seg_chain(
+        lab, [ones, swt_v, swt_v * swt_v],
+        [operator.add, operator.add, operator.add], reverse=True)
 
-    n = jnp.maximum(cnt, 1.0)
-    mean_sw = s1 / n
-    var_sw = jnp.maximum(s2 / n - mean_sw * mean_sw, 0.0)
-    bw = (xmax - xmin + 1).astype(jnp.float32)
-    bh = (ymax - ymin + 1).astype(jnp.float32)
+    # ---- compact runs (the only page-scale irregular op)
+    ry, rx = jnp.nonzero(run_start, size=max_runs, fill_value=-1)
+    r_ok = ry >= 0
+    rys = jnp.maximum(ry, 0)
+    rxs = jnp.maximum(rx, 0)
+    r_lab = jnp.where(r_ok, lab[rys, rxs], n)
+    cnt_r = jnp.where(r_ok, r_cnt[rys, rxs], 0.0)
+    s1_r = jnp.where(r_ok, r_s1[rys, rxs], 0.0)
+    s2_r = jnp.where(r_ok, r_s2[rys, rxs], 0.0)
+    yf = rys.astype(jnp.float32)
+    x0f = rxs.astype(jnp.float32)
+    x1f = x0f + cnt_r - 1.0  # run is contiguous: xmax = xstart + len - 1
+
+    # ---- per-component tables (flat-label indexed), run-count scatters
+    nb = n + 1
+    addsrc = jnp.stack([cnt_r, s1_r, s2_r], axis=-1)
+    sums = jnp.zeros((nb, 3), jnp.float32).at[r_lab].add(
+        addsrc, mode="drop")
+    mins = jnp.full((nb, 2), 1e9, jnp.float32).at[r_lab].min(
+        jnp.stack([yf, x0f], axis=-1), mode="drop")
+    maxs = jnp.full((nb, 2), -1e9, jnp.float32).at[r_lab].max(
+        jnp.stack([yf, x1f], axis=-1), mode="drop")
+    cnt, s1, s2 = sums[:, 0], sums[:, 1], sums[:, 2]
+    ymin, xmin = mins[:, 0], mins[:, 1]
+    ymax, xmax = maxs[:, 0], maxs[:, 1]
+
+    nn = jnp.maximum(cnt, 1.0)
+    mean_sw = s1 / nn
+    var_sw = jnp.maximum(s2 / nn - mean_sw * mean_sw, 0.0)
+    bw = xmax - xmin + 1.0
+    bh = ymax - ymin + 1.0
     diag = jnp.sqrt(bw * bw + bh * bh)
     aspect = jnp.maximum(bw, bh) / jnp.maximum(jnp.minimum(bw, bh), 1.0)
 
-    ok = (
+    ok_tab = (
         (cnt >= C.SWT_LETTER_MIN_PIXELS)
         & (var_sw <= C.SWT_LETTER_VARIANCE_RATIO * mean_sw * mean_sw)
         & (aspect <= C.SWT_LETTER_ASPECT_RATIO_MAX)
@@ -445,137 +547,159 @@ def _letter_mask_one(gray, swt_minus, swt_plus, max_letters, max_valid):
         & (bh >= C.SWT_LETTER_HEIGHT_MIN)
         & (bh <= C.SWT_LETTER_HEIGHT_MAX)
     )
+    ok_tab = ok_tab.at[n].set(False)  # background
 
     # ---- nested-box filter: a component containing > SWT_MAX_NESTED_LETTERS
-    # other accepted boxes is a frame, not a letter (ref: swt.c).
-    ok_c = ok[c_lab]  # per-compacted-pixel acceptance (reused for render)
-    rep = jnp.where(c_ok & (c_lab == cys * w + cxs) & ok_c, c_lab, h * w)
+    # other accepted boxes is a frame, not a letter (ref: swt.c). The
+    # component representative run starts AT the min-flat-index pixel
+    # (its left neighbor, if any, would have a smaller index), so reps
+    # are exactly the runs with r_lab == flat(run start).
+    is_rep = r_ok & (r_lab == rys * w + rxs) & ok_tab[r_lab]
+    rep = jnp.where(is_rep, r_lab, n)
     rep_idx = jnp.sort(rep)[:max_letters]
-    r_ok = rep_idx < h * w
-    ry0 = ymin[rep_idx]
-    ry1 = ymax[rep_idx]
-    rx0 = xmin[rep_idx]
-    rx1 = xmax[rep_idx]
+    l_ok = rep_idx < n
+    ry0 = ymin[rep_idx].astype(jnp.int32)
+    ry1 = ymax[rep_idx].astype(jnp.int32)
+    rx0 = xmin[rep_idx].astype(jnp.int32)
+    rx1 = xmax[rep_idx].astype(jnp.int32)
     # nesting is counted within a polarity pass (the oracle runs the
-    # nested filter per swt_polarity call), so cross-polarity containment
-    # must not count; a rep's polarity is its representative pixel's
-    r_neg = neg.reshape(-1)[jnp.minimum(rep_idx, h * w - 1)]
+    # nested filter per swt_polarity call): a rep's polarity is its
+    # representative pixel's (the label IS its min flat pixel index)
+    r_neg = neg.reshape(-1)[jnp.minimum(rep_idx, n - 1)]
     contains = (
         (ry0[:, None] <= ry0[None, :]) & (ry1[:, None] >= ry1[None, :])
         & (rx0[:, None] <= rx0[None, :]) & (rx1[:, None] >= rx1[None, :])
         & (r_neg[:, None] == r_neg[None, :])
-        & r_ok[:, None] & r_ok[None, :]
+        & l_ok[:, None] & l_ok[None, :]
         & ~jnp.eye(max_letters, dtype=bool)
     )
     nested = jnp.sum(contains, axis=1)
-    reject_mask = jnp.zeros(nb, bool).at[
-        jnp.where(r_ok & (nested > C.SWT_MAX_NESTED_LETTERS), rep_idx, h * w)
-    ].set(True)
+    rejected = l_ok & (nested > C.SWT_MAX_NESTED_LETTERS)
+    rej_tab = jnp.zeros(nb, bool).at[
+        jnp.where(rejected, rep_idx, n)].set(True)
+    rej_tab = rej_tab.at[n].set(False)
 
-    # letter mask via the compacted pixel list: valid pixels are exactly
-    # the compacted points, so gathering acceptance at 1/8-page points and
-    # scattering True back is ~3x cheaper than the full-page ok[labels]
-    # gather (80 ms -> ~45 ms at A4 on v5e; TPU gathers are per-element)
-    keep_c = c_ok & ok_c & ~reject_mask[c_lab]
-    mask = jnp.zeros(h * w + 1, bool).at[
-        jnp.where(keep_c, cys * w + cxs, h * w)
-    ].set(True)[: h * w].reshape(h, w)
+    # ---- paint acceptance back: run-level keep flag -> run-start plane
+    # (run-count scatter) -> rightward segmented OR along rows (dense)
+    keep_r = r_ok & ok_tab[r_lab] & ~rej_tab[r_lab]
+    keep_plane = jnp.zeros(nb, jnp.float32).at[
+        jnp.where(keep_r, rys * w + rxs, n)
+    ].max(jnp.where(keep_r, 1.0, 0.0), mode="drop")[:n].reshape(h, w)
+    (keep_f,) = _seg_chain(lab, [keep_plane], [jnp.maximum])
+    mask = valid & (keep_f > 0.5)
 
     boxes = jnp.stack([ry0, ry1, rx0, rx1], axis=-1).astype(jnp.int32)
-    boxes_ok = r_ok & (nested <= C.SWT_MAX_NESTED_LETTERS)
+    boxes_ok = l_ok & ~rejected
     return mask, boxes, boxes_ok
+
+
+def _letter_mask(gray, swt_minus, swt_plus, max_letters, max_runs):
+    """Batched letter pass: per-page core under lax.map (sequential per
+    page — the per-page program lowers exactly like the unbatched one;
+    vmap of the irregular ops measured ~5x slower on v5e)."""
+    med = _median_gray(gray)
+
+    def one(args):
+        g, sm, sp, m = args
+        return _letter_mask_one(g, sm, sp, m, max_letters, max_runs)
+
+    return jax.lax.map(one, (gray, swt_minus, swt_plus, med))
+
+
 
 
 # --------------------------------------------------------------------------
 # public op
 # --------------------------------------------------------------------------
 
-def _draw_boxes(pages_rgb, boxes, boxes_ok):
-    """Draw red per-letter bounding boxes onto uint8 RGB [H,W,3].
-
-    boxes int32 [N,4] = (y0, y1, x0, x1); boxes_ok bool [N]. One cheap
-    fori_loop iteration per candidate slot (pure VPU compares, no
-    materialized [N,H,W] tensor). Ref: swt.c PF_SWT_OUTPUT_ORIGINAL_BOXES.
-    """
-    h, w, _ = pages_rgb.shape
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+def _boxes_on_mask(boxes, boxes_ok, h, w):
+    """Box-perimeter mask bool [B,H,W] from boxes int32 [B,N,4] =
+    (y0, y1, x0, x1) and boxes_ok bool [B,N]. One cheap fori_loop
+    iteration per candidate slot (pure VPU compares, no materialized
+    [N,H,W] tensor). Ref: swt.c PF_SWT_OUTPUT_ORIGINAL_BOXES."""
+    b = boxes.shape[0]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
 
     def body(i, on):
-        y0, y1, x0, x1 = boxes[i, 0], boxes[i, 1], boxes[i, 2], boxes[i, 3]
+        y0 = boxes[:, i, 0][:, None, None]
+        y1 = boxes[:, i, 1][:, None, None]
+        x0 = boxes[:, i, 2][:, None, None]
+        x1 = boxes[:, i, 3][:, None, None]
         per = (
             (((ys == y0) | (ys == y1)) & (xs >= x0) & (xs <= x1))
             | (((xs == x0) | (xs == x1)) & (ys >= y0) & (ys <= y1))
         )
-        return on | (per & boxes_ok[i])
+        return on | (per & boxes_ok[:, i][:, None, None])
 
-    on_box = jax.lax.fori_loop(
-        0, boxes.shape[0], body, jnp.zeros((h, w), bool))
-    red = jnp.stack(
-        [jnp.full((h, w), 255, jnp.uint8), jnp.zeros((h, w), jnp.uint8),
-         jnp.zeros((h, w), jnp.uint8)], axis=-1)
-    return jnp.where(on_box[..., None], red, pages_rgb)
+    return jax.lax.fori_loop(
+        0, boxes.shape[1], body, jnp.zeros((b, h, w), bool))
 
 
-def _swt_one(page, output_type, max_rays, max_len, max_letters, max_valid):
-    """SWT for one RGBA page [H,W,4]."""
-    gray = rgba_to_gray(page[None])[0]
-    edges = canny_edge_mask(gray[None])[0]
-
-    swt_minus, swt_plus = _swt_maps_one(gray, edges, max_rays, max_len)
-    letter, boxes, boxes_ok = _letter_mask_one(
-        gray, swt_minus, swt_plus, max_letters, max_valid)
-
-    h, w = gray.shape
-    alpha = page[..., 3:]
-    if output_type == C.SWT_OUTPUT_BW_TEXT:
-        v = jnp.where(letter, jnp.uint8(C.PF_BLACK), jnp.uint8(C.PF_WHITE))
-        rgb = jnp.stack([v, v, v], axis=-1)
-    elif output_type == C.SWT_OUTPUT_GRAYSCALE_TEXT:
-        g = jnp.clip(jnp.round(gray), 0, 255).astype(jnp.uint8)
-        v = jnp.where(letter, g, jnp.uint8(C.PF_WHITE))
-        rgb = jnp.stack([v, v, v], axis=-1)
-    elif output_type == C.SWT_OUTPUT_ORIGINAL_BOXES:
-        rgb = _draw_boxes(page[..., :3], boxes, boxes_ok)
-    else:
-        raise ValueError(f"unknown swt output_type {output_type}")
-    return jnp.concatenate([rgb, alpha], axis=-1)
+def _gray_word(v, alpha):
+    """Replicate a uint32 byte value v into the RGB bytes of a word."""
+    return alpha | v | (v << jnp.uint32(8)) | (v << jnp.uint32(16))
 
 
 @partial(jax.jit, static_argnames=(
-    "output_type", "max_rays", "max_len", "max_letters", "max_valid",
-    "max_edges"))
+    "output_type", "max_rays", "max_len", "max_letters", "max_runs",
+    "max_valid", "max_edges"))
 def swt(
     pages: jax.Array,
     output_type: int = C.SWT_OUTPUT_BW_TEXT,
     max_rays: int | None = None,
     max_len: int = C.SWT_MAX_RAY_LEN,
     max_letters: int = 1024,
-    max_valid: int | None = None,
+    max_runs: int | None = None,
     max_edges: int | None = None,  # legacy alias for max_rays
+    max_valid: int | None = None,  # legacy alias for max_runs sizing
 ) -> jax.Array:
-    """Stroke Width Transform. uint8 RGBA [B,H,W,4] (or single page) in/out.
+    """Stroke Width Transform. uint8 RGBA [B,H,W,4] or uint32 words
+    [B,H,W] (or single page) in; same form out.
 
     max_rays bounds the compacted valid-ray list for the median clamp
     (default H*W//32, per polarity); max_len bounds ray length in pixels;
-    max_valid bounds the compacted stroke-pixel list for component
-    statistics (default H*W//4, shared by both polarity passes — their
-    gated pixel sets are disjoint); max_letters bounds the nested-box
-    candidate list (total across both polarities; nesting itself is
-    counted per polarity, matching the oracle's per-pass filter).
+    max_runs bounds the compacted row-run list for component statistics
+    (default H*W//16 — a run is a maximal same-component span in one
+    row, so the bound is on stroke CROSSINGS, not pixels; shared by both
+    polarity passes, whose gated pixel sets are disjoint); max_letters
+    bounds the nested-box candidate list (total across both polarities;
+    nesting itself is counted per polarity, matching the oracle's
+    per-pass filter).
     """
     pages, unb = ensure_batched(pages)
-    _, h, w, _ = pages.shape
+    in_words = pages.dtype == jnp.uint32
+    words = pages if in_words else pages_to_words(pages)
+    gray = words_to_gray(words)
+    _, h, w = gray.shape
     if max_rays is None:
         max_rays = max_edges if max_edges is not None else max(h * w // 32, 256)
-    if max_valid is None:
-        # shared by BOTH polarity passes (their gated pixel sets are
-        # disjoint): h*w//4 gives each pass the h*w//8 budget the
-        # previous two-pass formulation had, so dense mixed-polarity
-        # pages don't silently truncate component pixels
-        max_valid = max(h * w // 4, 1024)
-    out = jax.vmap(
-        lambda p: _swt_one(p, output_type, max_rays, max_len, max_letters,
-                           max_valid)
-    )(pages)
+    if max_runs is None:
+        max_runs = (max_valid if max_valid is not None
+                    else max(h * w // 16, 1024))
+
+    edges = canny_edge_mask(gray)
+    # the maps are per-page shift chains (vmap costs nothing there —
+    # measured); the letter pass is natively batched (vmap cost 5x)
+    swt_minus, swt_plus = jax.vmap(
+        lambda g, e: _swt_maps_one(g, e, max_rays, max_len))(gray, edges)
+    letter, boxes, boxes_ok = _letter_mask(
+        gray, swt_minus, swt_plus, max_letters, max_runs)
+
+    u = jnp.uint32
+    alpha = words & u(0xFF000000)
+    if output_type == C.SWT_OUTPUT_BW_TEXT:
+        v = jnp.where(letter, u(C.PF_BLACK), u(C.PF_WHITE))
+        out = _gray_word(v, alpha)
+    elif output_type == C.SWT_OUTPUT_GRAYSCALE_TEXT:
+        g8 = jnp.clip(jnp.round(gray), 0, 255).astype(u)
+        v = jnp.where(letter, g8, u(C.PF_WHITE))
+        out = _gray_word(v, alpha)
+    elif output_type == C.SWT_OUTPUT_ORIGINAL_BOXES:
+        on_box = _boxes_on_mask(boxes, boxes_ok, h, w)
+        out = jnp.where(on_box, alpha | u(0x000000FF), words)  # red
+    else:
+        raise ValueError(f"unknown swt output_type {output_type}")
+    if not in_words:
+        out = words_to_pages(out)
     return maybe_unbatch(out, unb)

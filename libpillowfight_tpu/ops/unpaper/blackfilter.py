@@ -14,9 +14,9 @@ from __future__ import annotations
 import jax
 
 from ...core import constants as C
-from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
 from ..morph import flood_reach
-from .common import block_sums, coverage_from_blocks, dark_mask, wipe_white
+from .common import (apply_wipe, block_sums, coverage_from_blocks,
+                     dark_mask)
 
 
 def blackfilter_wipe_dark(
@@ -58,6 +58,4 @@ def blackfilter_wipe(
 
 
 def unpaper_blackfilter(pages: jax.Array, **kwargs) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    wipe = blackfilter_wipe(rgba_to_gray(pages), **kwargs)
-    return maybe_unbatch(wipe_white(pages, wipe), unb)
+    return apply_wipe(pages, blackfilter_wipe, **kwargs)

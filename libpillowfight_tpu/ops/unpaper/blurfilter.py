@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ...core import constants as C
-from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
-from .common import block_sums, coverage_from_blocks, nonwhite_mask, wipe_white
+from .common import (apply_wipe, block_sums, coverage_from_blocks,
+                     nonwhite_mask)
 
 
 def blurfilter_wipe_nonwhite(
@@ -59,6 +59,4 @@ def blurfilter_wipe(
 
 
 def unpaper_blurfilter(pages: jax.Array, **kwargs) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    wipe = blurfilter_wipe(rgba_to_gray(pages), **kwargs)
-    return maybe_unbatch(wipe_white(pages, wipe), unb)
+    return apply_wipe(pages, blurfilter_wipe, **kwargs)

@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core import constants as C
-from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
-from .common import dark_mask, wipe_white
+from .common import apply_wipe, dark_mask
 
 
 def _border_extent(line_counts: jax.Array, extent: int, size: int, step: int,
@@ -79,6 +78,4 @@ def border_wipe(
 
 
 def unpaper_border(pages: jax.Array, **kwargs) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    wipe = border_wipe(rgba_to_gray(pages), **kwargs)
-    return maybe_unbatch(wipe_white(pages, wipe), unb)
+    return apply_wipe(pages, border_wipe, **kwargs)

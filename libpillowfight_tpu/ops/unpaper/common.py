@@ -13,6 +13,29 @@ import jax
 import jax.numpy as jnp
 
 from ...core import constants as C
+from ...core.bitmap import (
+    ensure_batched,
+    maybe_unbatch,
+    pages_to_words,
+    wipe_white_words,
+    words_to_gray,
+    words_to_pages,
+)
+
+
+def apply_wipe(pages: jax.Array, wipe_fn, **kwargs) -> jax.Array:
+    """Shared single-filter wrapper: uint8 RGBA [B,H,W,4] or uint32
+    words [B,H,W] (or single page) in, same form out. Internally runs on
+    u32 words (the u8 last-dim-4 layout wastes TPU lanes — see
+    bitmap.pages_to_words)."""
+    pages, unb = ensure_batched(pages)
+    in_words = pages.dtype == jnp.uint32
+    words = pages if in_words else pages_to_words(pages)
+    wipe = wipe_fn(words_to_gray(words), **kwargs)
+    out = wipe_white_words(words, wipe)
+    if not in_words:
+        out = words_to_pages(out)
+    return maybe_unbatch(out, unb)
 
 
 def dark_mask(gray: jax.Array, threshold: float = C.UNPAPER_BLACK_THRESHOLD) -> jax.Array:

@@ -14,8 +14,8 @@ from __future__ import annotations
 import jax
 
 from ...core import constants as C
-from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
-from .common import block_sums, coverage_from_blocks, dark_mask, wipe_white
+from .common import (apply_wipe, block_sums, coverage_from_blocks,
+                     dark_mask)
 
 
 def grayfilter_wipe_planes(
@@ -46,6 +46,4 @@ def grayfilter_wipe(
 
 
 def unpaper_grayfilter(pages: jax.Array, **kwargs) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    wipe = grayfilter_wipe(rgba_to_gray(pages), **kwargs)
-    return maybe_unbatch(wipe_white(pages, wipe), unb)
+    return apply_wipe(pages, grayfilter_wipe, **kwargs)

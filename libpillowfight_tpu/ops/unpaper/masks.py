@@ -27,8 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core import constants as C
-from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
-from .common import dark_mask, wipe_white
+from .common import apply_wipe, dark_mask
 
 
 def _mask_edge(line_counts: jax.Array, perp_extent: int, center: int, size: int,
@@ -115,6 +114,4 @@ def masks_wipe(
 
 
 def unpaper_masks(pages: jax.Array, **kwargs) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    wipe = masks_wipe(rgba_to_gray(pages), **kwargs)
-    return maybe_unbatch(wipe_white(pages, wipe), unb)
+    return apply_wipe(pages, masks_wipe, **kwargs)

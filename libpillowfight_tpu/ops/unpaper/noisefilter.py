@@ -16,9 +16,8 @@ from __future__ import annotations
 import jax
 
 from ...core import constants as C
-from ...core.bitmap import ensure_batched, maybe_unbatch, rgba_to_gray
 from ..morph import small_cluster_mask
-from .common import nonwhite_mask, wipe_white
+from .common import apply_wipe, nonwhite_mask
 
 
 def noisefilter_wipe_nonwhite(
@@ -36,6 +35,4 @@ def noisefilter_wipe(
 
 
 def unpaper_noisefilter(pages: jax.Array, **kwargs) -> jax.Array:
-    pages, unb = ensure_batched(pages)
-    wipe = noisefilter_wipe(rgba_to_gray(pages), **kwargs)
-    return maybe_unbatch(wipe_white(pages, wipe), unb)
+    return apply_wipe(pages, noisefilter_wipe, **kwargs)
