@@ -138,61 +138,76 @@ def _first_edge_along(edge_cls: jax.Array, k: int, t_units: int,
     cell is pulled back to every pixel (fill _INF on miss) — this is how
     the median clamp rides the chain back over the ray cells.
 
-    Returns (dist f32 [H,W] euclidean distance, units i32 [H,W] v-step
-    count, cls int8 [H,W] class at the hit, lat bool [H,W] hit at a
-    lattice multiple of v (False = hit at a knight intermediate — such an
-    edge blocks the ray but lies on a NEIGHBOR line, so it cannot anchor
-    a ray through this pixel), [pulled payloads...]; INF / -1 on miss).
+    Returns (enc int32 [H,W] — the packed chain state, decode with
+    _decode_chain into (dist, units, class-at-hit, lat) where lat=False
+    marks a hit at a knight intermediate: such an edge blocks the ray
+    but lies on a NEIGHBOR line, so it cannot anchor a ray through this
+    pixel — [pulled payloads...]).
     """
     v = _VECS[k]
-    nv = float(_NORMS[k])
     halves = _halves(v)
-    # axis/diagonal classes hit only at lattice multiples of v, so the
-    # step count and lattice flag are pure functions of the distance
-    # (u = d/nv, lat = hit) — dropping their carries removes 2 of the
-    # ~5 shifted planes per doubling step for half the classes
-    simple = not halves
+
+    # ENCODED carry: the whole chain state packs into ONE int32 plane —
+    # u (bits 0..10, v-step count, <= 2*t_units << 2047), hit class c
+    # (bits 11..15; 16 = miss), lat flag (bit 16), knight-half index
+    # (bit 17). One shifted plane per doubling step instead of the 4-5
+    # separate (d, u, c, lat) planes of the unpacked formulation, and
+    # the step-count update is a single integer add (the u field sits in
+    # the low bits and never carries out: u <= 2 * t_units <= 256).
+    # Distances decode on demand (_decode_chain): d = u*|v| for lattice
+    # hits, (u-1)*|v| + |half| for knight-intermediate hits.
+    i32 = jnp.int32
 
     # one-step base case: full step first, then intermediates far->near
     # overwrite (the continuously-first hit wins)
-    ev = _shift_static(edge_cls, v[0], v[1], -1)
-    d = jnp.where(ev >= 0, jnp.float32(nv), _INF)
-    c = jnp.where(ev >= 0, ev, -1).astype(jnp.int8)
-    u = None if simple else jnp.where(ev >= 0, 1, 0).astype(jnp.int32)
-    lat = None if simple else (ev >= 0)
+    ev = _shift_static(edge_cls, v[0], v[1], -1).astype(i32)
+    enc = jnp.where(ev >= 0, 1 | (ev << 11) | (1 << 16), _CHAIN_MISS)
     pl = [jnp.where(ev >= 0, _shift_static(p, v[0], v[1], _INF), _INF)
           for p in payloads]
-    for hc in halves:
-        eh = _shift_static(edge_cls, hc[0], hc[1], -1)
+    for idx, hc in enumerate(halves):
+        eh = _shift_static(edge_cls, hc[0], hc[1], -1).astype(i32)
         hit_h = eh >= 0
-        d = jnp.where(hit_h, jnp.float32(np.hypot(*hc)), d)
-        u = jnp.where(hit_h, 1, u)  # intermediate counts as the 1st step
-        c = jnp.where(hit_h, eh, c)
-        lat = jnp.where(hit_h, False, lat)
+        enc = jnp.where(hit_h, 1 | (eh << 11) | (idx << 17), enc)
         pl = [jnp.where(hit_h, _shift_static(p, hc[0], hc[1], _INF), q)
               for p, q in zip(payloads, pl)]
 
     step = 1
     while step < t_units:
         sy, sx = step * v[0], step * v[1]
-        d2 = _shift_static(d, sy, sx, _INF)
-        c2 = _shift_static(c, sy, sx, -1)
-        miss = d >= _INF
-        ext = d2 < _INF
-        take = miss & ext
-        d = jnp.where(take, step * nv + d2, d)
-        c = jnp.where(take, c2, c)
-        if not simple:
-            u2 = _shift_static(u, sy, sx, 0)
-            u = jnp.where(take, step + u2, u)
-            lat = jnp.where(take, _shift_static(lat, sy, sx, False), lat)
+        enc2 = _shift_static(enc, sy, sx, _CHAIN_MISS)
+        take = (((enc >> 11) & 31) == 16) & (((enc2 >> 11) & 31) != 16)
+        enc = jnp.where(take, enc2 + step, enc)
         pl = [jnp.where(take, _shift_static(q, sy, sx, _INF), q) for q in pl]
         step *= 2
-    if simple:
-        hit = d < _INF
-        u = jnp.where(hit, jnp.round(d / nv).astype(jnp.int32), 0)
-        lat = hit
-    return (d, u, c, lat, *pl)
+    return (enc, *pl)
+
+
+_CHAIN_MISS = (16 << 11) | 2047
+
+
+def _decode_chain(enc: jax.Array, k: int):
+    """Unpack an encoded first-edge chain plane -> (d f32, u i32, c i32,
+    lat bool); INF / -1 / False on miss. Pure elementwise ALU — fuses
+    into the commit selects."""
+    v = _VECS[k]
+    nv = float(_NORMS[k])
+    halves = _halves(v)
+    u = enc & 2047
+    c5 = (enc >> 11) & 31
+    hit = c5 < 16
+    lat = ((enc >> 16) & 1) == 1
+    uf = u.astype(jnp.float32)
+    if halves:
+        h0 = float(np.hypot(*halves[0]))
+        h1 = float(np.hypot(*halves[1])) if len(halves) > 1 else h0
+        hsel = jnp.where(((enc >> 17) & 1) == 1, jnp.float32(h1),
+                         jnp.float32(h0))
+        d = jnp.where(lat, uf * nv, (uf - 1.0) * nv + hsel)
+    else:
+        d = uf * nv
+    d = jnp.where(hit, d, _INF)
+    c = jnp.where(hit, c5, -1)
+    return d, u, c, lat & hit
 
 
 _MED_SAMPLES = 17  # evenly subsampled ray profile for the median clamp
@@ -300,9 +315,11 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
     # ---- pass 1: width maps. Chains come in opposite pairs so only two
     # are live at a time (memory: O(1) page maps, not O(classes)).
     for k in range(_NDIR // 2):
-        ch_k = _first_edge_along(edge_cls, k, t_units(k))
-        ch_o = _first_edge_along(edge_cls, k + _NDIR // 2, t_units(k))
-        for kk, down, up in ((k, ch_k, ch_o), (k + _NDIR // 2, ch_o, ch_k)):
+        (enc_k,) = _first_edge_along(edge_cls, k, t_units(k))
+        (enc_o,) = _first_edge_along(edge_cls, k + _NDIR // 2, t_units(k))
+        dec_k = _decode_chain(enc_k, k)
+        dec_o = _decode_chain(enc_o, k + _NDIR // 2)
+        for kk, down, up in ((k, dec_k, dec_o), (k + _NDIR // 2, dec_o, dec_k)):
             for s in (-1, 1):
                 contrib, is_anchor, u_dn = _class_commit(
                     kk, s, down, up, edge_cls, is_edge, t_units(kk), opposing)
@@ -316,12 +333,18 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
     # re-committed along the same segment via a payload-carrying chain.
     vy = jnp.asarray([v[0] for v in _VECS], jnp.int32)
     vx = jnp.asarray([v[1] for v in _VECS], jnp.int32)
+    # ONE compaction for both signs: jnp.nonzero costs ~76 ms at page
+    # scale on v5e (its internal scatter walks every pixel regardless of
+    # the output size), so the union anchor set compacts once and each
+    # sign re-derives its validity with a small gather
+    ay, ax = jnp.nonzero(any_anchor[-1] | any_anchor[1], size=max_rays,
+                         fill_value=-1)
+    pos_ok = ay >= 0
+    ays = jnp.maximum(ay, 0)
+    axs = jnp.maximum(ax, 0)
     med_map = {}
     for s in (-1, 1):
-        ay, ax = jnp.nonzero(any_anchor[s], size=max_rays, fill_value=-1)
-        valid_r = ay >= 0
-        ays = jnp.maximum(ay, 0)
-        axs = jnp.maximum(ax, 0)
+        valid_r = pos_ok & any_anchor[s][ays, axs]
         r_units = a_units[s][ays, axs]
         r_k = a_k[s][ays, axs].astype(jnp.int32)
         r_vy = vy[r_k]
@@ -355,11 +378,14 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
         ch_k = _first_edge_along(edge_cls, k, t_units(k), payloads=pls)
         ch_o = _first_edge_along(edge_cls, k + _NDIR // 2, t_units(k),
                                  payloads=pls)
-        for kk, down, up in ((k, ch_k, ch_o), (k + _NDIR // 2, ch_o, ch_k)):
+        dec_k = _decode_chain(ch_k[0], k)
+        dec_o = _decode_chain(ch_o[0], k + _NDIR // 2)
+        for kk, down, up, up_pl in ((k, dec_k, dec_o, ch_o[1:]),
+                                    (k + _NDIR // 2, dec_o, dec_k, ch_k[1:])):
             for si, s in enumerate((-1, 1)):
                 contrib, _, _ = _class_commit(
                     kk, s, down, up, edge_cls, is_edge, t_units(kk), opposing,
-                    payload_up=up[4 + si], payload_anchor=med_map[s])
+                    payload_up=up_pl[si], payload_anchor=med_map[s])
                 res[s] = jnp.minimum(res[s], contrib)
     return res[-1], res[1]
 
@@ -518,18 +544,19 @@ def _letter_mask_one(gray, swt_minus, swt_plus, med, max_letters, max_runs):
     x0f = rxs.astype(jnp.float32)
     x1f = x0f + cnt_r - 1.0  # run is contiguous: xmax = xstart + len - 1
 
-    # ---- per-component tables (flat-label indexed), run-count scatters
+    # ---- per-component tables (flat-label indexed), run-count scatters.
+    # NARROW scatters, one value per update: an XLA TPU scatter of
+    # multi-element rows costs per-ROW what a narrow scatter costs per
+    # ELEMENT (each wide row touches a full lane tile) — measured 2x
+    # slower combined than seven narrow scatters
     nb = n + 1
-    addsrc = jnp.stack([cnt_r, s1_r, s2_r], axis=-1)
-    sums = jnp.zeros((nb, 3), jnp.float32).at[r_lab].add(
-        addsrc, mode="drop")
-    mins = jnp.full((nb, 2), 1e9, jnp.float32).at[r_lab].min(
-        jnp.stack([yf, x0f], axis=-1), mode="drop")
-    maxs = jnp.full((nb, 2), -1e9, jnp.float32).at[r_lab].max(
-        jnp.stack([yf, x1f], axis=-1), mode="drop")
-    cnt, s1, s2 = sums[:, 0], sums[:, 1], sums[:, 2]
-    ymin, xmin = mins[:, 0], mins[:, 1]
-    ymax, xmax = maxs[:, 0], maxs[:, 1]
+    cnt = jnp.zeros(nb, jnp.float32).at[r_lab].add(cnt_r, mode="drop")
+    s1 = jnp.zeros(nb, jnp.float32).at[r_lab].add(s1_r, mode="drop")
+    s2 = jnp.zeros(nb, jnp.float32).at[r_lab].add(s2_r, mode="drop")
+    ymin = jnp.full(nb, 1e9, jnp.float32).at[r_lab].min(yf, mode="drop")
+    xmin = jnp.full(nb, 1e9, jnp.float32).at[r_lab].min(x0f, mode="drop")
+    ymax = jnp.full(nb, -1e9, jnp.float32).at[r_lab].max(yf, mode="drop")
+    xmax = jnp.full(nb, -1e9, jnp.float32).at[r_lab].max(x1f, mode="drop")
 
     nn = jnp.maximum(cnt, 1.0)
     mean_sw = s1 / nn

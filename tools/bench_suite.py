@@ -51,8 +51,12 @@ def _peak_hbm_bw():
     return 819e9, kind  # conservative default (v5e)
 
 
-def _roofline_fields(rec, dt, n_px, n_stages=1):
-    """Attach achieved-bandwidth + %-of-roofline columns to a record."""
+def _roofline_fields(rec, dt, n_px, n_stages=1, dt_device=None):
+    """Attach achieved-bandwidth + %-of-roofline columns to a record.
+
+    dt_device (metrics.device_time: RTT-free chained timing with a DCE
+    barrier) is the authoritative denominator for roofline %: wall time
+    through the axon tunnel embeds a ~25 ms RTT per iteration."""
     peak, kind = _peak_hbm_bw()
     sol_bytes = SOL_BYTES_PER_PX * n_px
     achieved = sol_bytes / dt          # useful bytes moved per second
@@ -70,7 +74,25 @@ def _roofline_fields(rec, dt, n_px, n_stages=1):
     if n_stages > 1:
         rec["n_stages"] = n_stages
         rec["roofline_pct_stagewise"] = 100.0 * achieved * n_stages / peak
+    if dt_device:
+        ach_dev = sol_bytes / dt_device
+        rec["device_ms"] = dt_device * 1e3
+        rec["mp_per_s_chip_device"] = (n_px / 1e6) / dt_device
+        rec["roofline_pct_device"] = 100.0 * ach_dev / peak
+        if n_stages > 1:
+            rec["roofline_pct_stagewise_device"] = (
+                100.0 * ach_dev * n_stages / peak)
     return rec
+
+
+def _device_time(fn, x, iters=3):
+    """RTT-free device seconds/iter (None if measurement fails)."""
+    try:
+        from libpillowfight_tpu.utils.metrics import device_time
+
+        return device_time(fn, x, iters=iters)
+    except Exception:
+        return None
 
 
 def _fetch(o):
@@ -171,6 +193,15 @@ def _device_batches(b, h, w, n=2):
     return [jnp.asarray(_scan_pages(b, h, w, seed=s)) for s in range(n)]
 
 
+def _word_batches(b, h, w, n=2):
+    import jax.numpy as jnp
+
+    from libpillowfight_tpu.core.bitmap import host_pages_to_words
+
+    return [jnp.asarray(host_pages_to_words(_scan_pages(b, h, w, seed=s)))
+            for s in range(n)]
+
+
 def run_config(idx, quick):
     import jax
     import jax.numpy as jnp
@@ -188,11 +219,12 @@ def run_config(idx, quick):
     if idx == 1:  # Sobel, one 300dpi A4 page
         xs = _device_batches(1, h, w)
         dt = _timed(jax.jit(sobel), xs, 3)
+        dtd = _device_time(sobel, xs[0])
         mp = h * w / 1e6
         return _with_oracle(_roofline_fields(
             {"config": "sobel_1page_300dpi", "mp_per_s_chip": mp / dt,
              "ms_per_page": dt * 1e3, "pages": 1, "page_mp": mp},
-            dt, h * w), "sobel", h, w)
+            dt, h * w, dt_device=dtd), "sobel", h, w)
 
     if idx == 2:  # Gaussian + full Canny, 64-page batch
         from libpillowfight_tpu.parallel.batch import map_chunked
@@ -203,51 +235,55 @@ def run_config(idx, quick):
         # one chip's HBM — stream 16 pages at a time inside one jit
         fn = jax.jit(lambda p: map_chunked(canny, p, 16))
         dt = _timed(fn, xs, 3)
+        dtd = _device_time(fn, xs[0], iters=2)
         mp = b * h * w / 1e6
         return _with_oracle(_roofline_fields(
             {"config": "canny_batch64", "mp_per_s_chip": mp / dt,
              "pages_per_s": b / dt, "pages": b, "page_mp": h * w / 1e6},
-            dt, b * h * w), "canny", h, w)
+            dt, b * h * w, dt_device=dtd), "canny", h, w)
 
     if idx == 3:  # unpaper chain, 256 pages (chunked)
         b = 8 if quick else 16
         chunks = 2 if quick else 16  # 16 x 16 = 256 pages
         fn = compile_pipeline(DOCUMENT_CLEANUP)
-        xs = _device_batches(b, h, w, n=2)
+        xs = _word_batches(b, h, w, n=2)  # u32 word transport (free host view)
         dt = _timed(fn, xs, chunks)
+        dtd = _device_time(fn, xs[0])
         pages = b
         mp = pages * h * w / 1e6
         return _roofline_fields(
             {"config": "unpaper_chain_256pages", "mp_per_s_chip": mp / dt,
              "pages_per_s": pages / dt, "pages_total": b * chunks,
-             "page_mp": h * w / 1e6},
-            dt, b * h * w, n_stages=6)
+             "page_mp": h * w / 1e6, "transport": "u32_words"},
+            dt, b * h * w, n_stages=6, dt_device=dtd)
 
     if idx == 4:  # ACE on 600dpi color scans
         hh, ww = (A4_600[0] // 2, A4_600[1] // 2) if quick else A4_600
         xs = _device_batches(1, hh, ww)
         fn = jax.jit(lambda p: ace(p))
         dt = _timed(fn, xs, 3)
+        dtd = _device_time(fn, xs[0], iters=2)
         mp = hh * ww / 1e6
         return _with_oracle(_roofline_fields(
             {"config": "ace_600dpi", "mp_per_s_chip": mp / dt,
              "ms_per_page": dt * 1e3, "page_mp": mp},
-            dt, hh * ww), "ace", hh, ww)
+            dt, hh * ww, dt_device=dtd), "ace", hh, ww)
 
     if idx == 5:  # SWT + full cleanup (single-chip slice of config 5)
         b = 1
         hh, ww = (h // 2, w // 2) if quick else (h, w)
         cleanup = compile_pipeline(DOCUMENT_CLEANUP)
         fn = jax.jit(lambda p: swt(cleanup(p)))
-        xs = _device_batches(b, hh, ww)
+        xs = _word_batches(b, hh, ww)
         dt = _timed(fn, xs, 2)
+        dtd = _device_time(fn, xs[0], iters=2)
         mp = b * hh * ww / 1e6
         return _with_oracle(_roofline_fields(
             {"config": "swt_plus_cleanup", "mp_per_s_chip": mp / dt,
              "pages_per_s": b / dt,
              "pages_per_s_per_chip_extrapolated_10k": b / dt,
-             "page_mp": hh * ww / 1e6},
-            dt, b * hh * ww, n_stages=7), "swt", hh, ww)
+             "page_mp": hh * ww / 1e6, "transport": "u32_words"},
+            dt, b * hh * ww, n_stages=7, dt_device=dtd), "swt", hh, ww)
 
     if idx == 6:  # per-kernel microbench: every filter alone, same batch
         from libpillowfight_tpu.ops import gaussian, unpaper
