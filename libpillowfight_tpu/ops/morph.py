@@ -222,8 +222,15 @@ _COARSE = 4  # multigrid coarsening factor
 
 
 def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 8,
-                max_iters: int = 4096, leap: int = 1) -> jax.Array:
+                max_iters: int | None = None, leap: int = 1) -> jax.Array:
     """All mask pixels connected (4/8-conn) to a seed. bool [B,H,W] each.
+
+    max_iters=None (the default) iterates to the TRUE fixed point: the
+    round cap is set to H*W + 2, a guaranteed upper bound because each
+    round counted as "changed" strictly grows the reach set, so the
+    convergence detector always fires first. The result is exact for
+    every input — no winding-path geometry can silently under-flood.
+    Pass a finite max_iters only to trade exactness for a latency bound.
 
     leap > 1 (8-conn only): two mask pixels within Chebyshev distance
     `leap` are considered connected — the flood leaps gaps, matching
@@ -252,17 +259,18 @@ def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 8,
         if packed_fits(h, w):
             # bit-packed whole-page kernel: 32 rows/word, full fixed
             # point in VMEM — ~8x faster than the band sweeps on v5e
-            return flood_reach_packed(seeds, mask,
-                                      max_iters=min(max_iters, 512),
+            return flood_reach_packed(seeds, mask, max_iters=max_iters,
                                       leap=leap)
         from .pallas.flood_kernel import flood_reach_pallas
 
-        return flood_reach_pallas(seeds, mask, max_iters=min(max_iters, 512),
+        return flood_reach_pallas(seeds, mask, max_iters=max_iters,
                                   leap=leap)
     mask = mask.astype(bool)
     seeds = seeds.astype(bool) & mask
 
     b, h, w = mask.shape
+    if max_iters is None:
+        max_iters = h * w + 2
     c = _COARSE
     if h >= 4 * c and w >= 4 * c:
         ph, pw = -h % c, -w % c
@@ -284,18 +292,24 @@ def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 8,
 # --------------------------------------------------------------------------
 
 def label_components(mask: jax.Array, connectivity: int = 8,
-                     max_iters: int = 4096) -> jax.Array:
+                     max_iters: int | None = None) -> jax.Array:
     """CC labels for bool [B,H,W]: int32 [B,H,W], label = min flat index in
     the component; background = H*W (one past the largest valid label).
+
+    max_iters=None (default) iterates to the true fixed point (cap
+    H*W + 2, see flood_reach — min-label propagation is simultaneous
+    flood from each component's min pixel, so the same bound applies).
 
     On TPU the 8-connectivity case runs the Pallas doubling-scan band
     kernel (see pallas/flood_kernel.py)."""
     if connectivity == 8 and _use_pallas_flood():
         from .pallas.flood_kernel import label_components_pallas
 
-        return label_components_pallas(mask, max_iters=min(max_iters, 512))
+        return label_components_pallas(mask, max_iters=max_iters)
     mask = mask.astype(bool)
     b, h, w = mask.shape
+    if max_iters is None:
+        max_iters = h * w + 2
     big = h * w
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1) * w
@@ -335,8 +349,8 @@ def _shift2d(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
 _OFFSETS8 = ((0, 1), (1, 0), (1, 1), (1, -1))  # unique undirected directions
 
 
-def label_components_links(valid: jax.Array, links: dict, max_iters: int = 4096
-                           ) -> jax.Array:
+def label_components_links(valid: jax.Array, links: dict,
+                           max_iters: int | None = None) -> jax.Array:
     """CC labeling with *pairwise* connectivity (used by SWT's similar-
     stroke-width components, ref: src/pillowfight/swt.c — SURVEY.md §3.3).
 
@@ -347,6 +361,8 @@ def label_components_links(valid: jax.Array, links: dict, max_iters: int = 4096
     """
     valid = valid.astype(bool)
     b, h, w = valid.shape
+    if max_iters is None:
+        max_iters = h * w + 2
     big = h * w
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1) * w

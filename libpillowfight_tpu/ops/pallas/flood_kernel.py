@@ -253,14 +253,21 @@ def _flood_sweep(reach: jax.Array, mask: jax.Array, down: bool,
 
 
 def flood_reach_pallas(seeds: jax.Array, mask: jax.Array,
-                       max_iters: int = 256, interpret: bool = False,
+                       max_iters: int | None = None, interpret: bool = False,
                        leap: int = 1) -> jax.Array:
     """Exact fixed-point flood (8-connectivity; mask pixels within
     Chebyshev distance `leap` are connected). seeds/mask bool [B,H,W]
     -> bool [B,H,W]. Each round = one down + one up band sweep (2 HBM
     passes, state updated in place); rounds converge in O(snake turns),
-    not O(page height)."""
+    not O(page height).
+
+    max_iters=None (default) caps sweeps at a TRUE upper bound (every
+    changed sweep strictly grows the <= H*W-member reach set), so the
+    sweep-granular convergence check always fires first and the result
+    is exact unconditionally."""
     b, h, w = mask.shape
+    if max_iters is None:
+        max_iters = h * w + 2
     m8 = mask.astype(jnp.int8)
     r0 = (seeds.astype(bool) & mask.astype(bool)).astype(jnp.int8)
     (m8, r0), hp, wp, _ = _pad_bands([m8, r0], h, w, [0, 0])
@@ -450,12 +457,19 @@ def _label_sweep(labels: jax.Array, mask: jax.Array, down: bool, big: int,
     )(mask, labels)
 
 
-def label_components_pallas(mask: jax.Array, max_iters: int = 256,
+def label_components_pallas(mask: jax.Array, max_iters: int | None = None,
                             interpret: bool = False) -> jax.Array:
     """Exact CC labels (8-conn, min flat index, background = H*W) via the
-    sequential sweep kernels."""
+    sequential sweep kernels.
+
+    max_iters=None (default) caps sweeps at H*W + 2: min-label
+    propagation is the simultaneous flood from each component's min
+    pixel, whose front advances >= 1 geodesic step per changed sweep,
+    so the convergence check fires first and labels are exact."""
     mask_b = mask.astype(bool)
     b, h, w = mask_b.shape
+    if max_iters is None:
+        max_iters = h * w + 2
     big = h * w
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1) * w

@@ -250,12 +250,21 @@ def _flood_packed(m_packed: jax.Array, s_packed: jax.Array, leap: int,
 
 
 def flood_reach_packed(seeds: jax.Array, mask: jax.Array,
-                       max_iters: int = 256, leap: int = 1,
+                       max_iters: int | None = None, leap: int = 1,
                        interpret: bool = False) -> jax.Array:
     """Exact fixed-point flood (8-connectivity; mask pixels within
     Chebyshev distance `leap` are connected). seeds/mask bool [B, H, W]
-    -> bool [B, H, W]. One kernel call computes the full fixed point."""
+    -> bool [B, H, W]. One kernel call computes the full fixed point.
+
+    max_iters=None (the default) caps the round loop at H*W + 2 — a
+    TRUE upper bound: every round counted as "changed" strictly grows
+    the reach set (r2 = dilate(r) | r), and the set has at most H*W
+    members, so the convergence check always fires first and the result
+    is exact unconditionally. Pass a finite max_iters only to trade
+    exactness for a latency bound."""
     b, h, w = mask.shape
+    if max_iters is None:
+        max_iters = h * w + 2
     pw = -w % 128
     if pw:
         mask = jnp.pad(mask.astype(bool), ((0, 0), (0, 0), (0, pw)))

@@ -336,9 +336,12 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
     # ONE compaction for both signs: jnp.nonzero costs ~76 ms at page
     # scale on v5e (its internal scatter walks every pixel regardless of
     # the output size), so the union anchor set compacts once and each
-    # sign re-derives its validity with a small gather
-    ay, ax = jnp.nonzero(any_anchor[-1] | any_anchor[1], size=max_rays,
-                         fill_value=-1)
+    # sign re-derives its validity with a small gather. The default
+    # max_rays is sized for the UNION (both polarities share the
+    # budget); n_anchors reports the true demand for overflow checks.
+    anchor_union = any_anchor[-1] | any_anchor[1]
+    n_anchors = jnp.sum(anchor_union.astype(jnp.int32))
+    ay, ax = jnp.nonzero(anchor_union, size=max_rays, fill_value=-1)
     pos_ok = ay >= 0
     ays = jnp.maximum(ay, 0)
     axs = jnp.maximum(ax, 0)
@@ -387,7 +390,7 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
                     kk, s, down, up, edge_cls, is_edge, t_units(kk), opposing,
                     payload_up=up_pl[si], payload_anchor=med_map[s])
                 res[s] = jnp.minimum(res[s], contrib)
-    return res[-1], res[1]
+    return res[-1], res[1], n_anchors
 
 
 # --------------------------------------------------------------------------
@@ -407,6 +410,13 @@ def _seg_chain(lab, payloads, ops, reverse=False, max_span=None):
     payloads: list of arrays shaped like lab; ops: matching binary
     reduction callables (jnp.minimum/jnp.maximum/operator.add).
     max_span bounds the doubling (segments are guaranteed shorter).
+
+    Segment membership is CONTIGUOUS same-label reach, carried as an
+    AND-chained adjacency flag (adj at step s means every element in
+    the s-span shares the label), not a raw label compare at distance
+    s — a raw compare would let a component with two same-label runs in
+    one row (U/H/O shapes) absorb the far run across the background gap
+    whenever a power-of-two step bridges it.
     """
     n = lab.shape[-1] if max_span is None else min(max_span, lab.shape[-1])
     big = jnp.int32(-1) if not reverse else jnp.int32(-2)
@@ -418,13 +428,13 @@ def _seg_chain(lab, payloads, ops, reverse=False, max_span=None):
         return jnp.concatenate([pad, x[..., :-s]], axis=-1)
 
     out = list(payloads)
+    adj = shift(lab, 1, big) == lab  # contiguous same-label at distance 1
     s = 1
     while s < n:
-        lab_s = shift(lab, s, big)
-        same = lab_s == lab
         for i, op in enumerate(ops):
             cand = shift(out[i], s, 0)
-            out[i] = jnp.where(same, op(out[i], cand), out[i])
+            out[i] = jnp.where(adj, op(out[i], cand), out[i])
+        adj = adj & shift(adj, s, False)
         s *= 2
     return out
 
@@ -532,6 +542,7 @@ def _letter_mask_one(gray, swt_minus, swt_plus, med, max_letters, max_runs):
         [operator.add, operator.add, operator.add], reverse=True)
 
     # ---- compact runs (the only page-scale irregular op)
+    n_runs = jnp.sum(run_start.astype(jnp.int32))
     ry, rx = jnp.nonzero(run_start, size=max_runs, fill_value=-1)
     r_ok = ry >= 0
     rys = jnp.maximum(ry, 0)
@@ -582,6 +593,7 @@ def _letter_mask_one(gray, swt_minus, swt_plus, med, max_letters, max_runs):
     # (its left neighbor, if any, would have a smaller index), so reps
     # are exactly the runs with r_lab == flat(run start).
     is_rep = r_ok & (r_lab == rys * w + rxs) & ok_tab[r_lab]
+    n_letters = jnp.sum(is_rep.astype(jnp.int32))
     rep = jnp.where(is_rep, r_lab, n)
     rep_idx = jnp.sort(rep)[:max_letters]
     l_ok = rep_idx < n
@@ -617,7 +629,7 @@ def _letter_mask_one(gray, swt_minus, swt_plus, med, max_letters, max_runs):
 
     boxes = jnp.stack([ry0, ry1, rx0, rx1], axis=-1).astype(jnp.int32)
     boxes_ok = l_ok & ~rejected
-    return mask, boxes, boxes_ok
+    return mask, boxes, boxes_ok, n_runs, n_letters
 
 
 def _letter_mask(gray, swt_minus, swt_plus, max_letters, max_runs):
@@ -670,47 +682,63 @@ def _gray_word(v, alpha):
 
 @partial(jax.jit, static_argnames=(
     "output_type", "max_rays", "max_len", "max_letters", "max_runs",
-    "max_valid", "max_edges"))
+    "max_valid", "max_edges", "return_debug"))
 def swt(
     pages: jax.Array,
     output_type: int = C.SWT_OUTPUT_BW_TEXT,
     max_rays: int | None = None,
     max_len: int = C.SWT_MAX_RAY_LEN,
-    max_letters: int = 1024,
+    max_letters: int | None = None,
     max_runs: int | None = None,
     max_edges: int | None = None,  # legacy alias for max_rays
     max_valid: int | None = None,  # legacy alias for max_runs sizing
-) -> jax.Array:
+    return_debug: bool = False,
+):
     """Stroke Width Transform. uint8 RGBA [B,H,W,4] or uint32 words
     [B,H,W] (or single page) in; same form out.
 
     max_rays bounds the compacted valid-ray list for the median clamp
-    (default H*W//32, per polarity); max_len bounds ray length in pixels;
-    max_runs bounds the compacted row-run list for component statistics
-    (default H*W//16 — a run is a maximal same-component span in one
-    row, so the bound is on stroke CROSSINGS, not pixels; shared by both
-    polarity passes, whose gated pixel sets are disjoint); max_letters
-    bounds the nested-box candidate list (total across both polarities;
-    nesting itself is counted per polarity, matching the oracle's
-    per-pass filter).
+    (default H*W//16 — ONE budget shared by both polarities' anchor
+    union); max_len bounds ray length in pixels (<= 1023: the encoded
+    chain packs the v-step count into 11 bits); max_runs bounds the
+    compacted row-run list for component statistics (default H*W//16 —
+    a run is a maximal same-component span in one row, so the bound is
+    on stroke CROSSINGS, not pixels; shared by both polarity passes,
+    whose gated pixel sets are disjoint); max_letters bounds the
+    nested-box candidate list (default scales with page area,
+    max(1024, H*W//2048) ~= 4x the densest real text page; total across
+    both polarities — nesting itself is counted per polarity, matching
+    the oracle's per-pass filter).
+
+    return_debug=True also returns a dict of per-page int32 counts
+    {"n_anchors", "n_runs", "n_letters"} plus the static caps — no cap
+    may silently truncate: assert n_x <= max_x to audit a run.
     """
+    if max_len > 1023:
+        raise ValueError(
+            f"max_len={max_len} exceeds 1023: the encoded first-edge "
+            "chain packs the v-step count into bits 0..10 (u <= 2047, "
+            "u reaches 2*t_units), so longer rays would carry into the "
+            "class bits and corrupt every chain decode")
     pages, unb = ensure_batched(pages)
     in_words = pages.dtype == jnp.uint32
     words = pages if in_words else pages_to_words(pages)
     gray = words_to_gray(words)
     _, h, w = gray.shape
     if max_rays is None:
-        max_rays = max_edges if max_edges is not None else max(h * w // 32, 256)
+        max_rays = max_edges if max_edges is not None else max(h * w // 16, 512)
     if max_runs is None:
         max_runs = (max_valid if max_valid is not None
                     else max(h * w // 16, 1024))
+    if max_letters is None:
+        max_letters = max(h * w // 2048, 1024)
 
     edges = canny_edge_mask(gray)
     # the maps are per-page shift chains (vmap costs nothing there —
     # measured); the letter pass is natively batched (vmap cost 5x)
-    swt_minus, swt_plus = jax.vmap(
+    swt_minus, swt_plus, n_anchors = jax.vmap(
         lambda g, e: _swt_maps_one(g, e, max_rays, max_len))(gray, edges)
-    letter, boxes, boxes_ok = _letter_mask(
+    letter, boxes, boxes_ok, n_runs, n_letters = _letter_mask(
         gray, swt_minus, swt_plus, max_letters, max_runs)
 
     u = jnp.uint32
@@ -729,4 +757,11 @@ def swt(
         raise ValueError(f"unknown swt output_type {output_type}")
     if not in_words:
         out = words_to_pages(out)
-    return maybe_unbatch(out, unb)
+    out = maybe_unbatch(out, unb)
+    if return_debug:
+        return out, {
+            "n_anchors": n_anchors, "max_rays": max_rays,
+            "n_runs": n_runs, "max_runs": max_runs,
+            "n_letters": n_letters, "max_letters": max_letters,
+        }
+    return out

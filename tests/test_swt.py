@@ -1,9 +1,12 @@
 """SWT: structural tests on synthetic text-like strokes."""
 
+import operator
+
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from libpillowfight_tpu.ops.swt import swt
+from libpillowfight_tpu.ops.swt import _seg_chain, swt
 from libpillowfight_tpu.core import constants as C
 
 
@@ -49,6 +52,49 @@ def test_swt_grayscale_and_boxes_modes():
     assert boxes.shape == page.shape
     # red box pixels exist (r=255, g=0)
     assert ((boxes[..., 0] == 255) & (boxes[..., 1] == 0)).any()
+
+
+def test_seg_chain_does_not_bridge_gaps():
+    """r4 advisor (high): two same-label runs in one row separated by a
+    gap (U/H/O letter shapes) must aggregate independently — a raw
+    label compare at distance s would absorb the far run whenever a
+    power-of-two step bridges the gap."""
+    # row: [A, A, bg, bg, A] — label-A runs of length 2 and 1 (the bg
+    # cells form their own contiguous -1 run, harmless in production
+    # where their payload is zero)
+    lab = jnp.asarray([[5, 5, -1, -1, 5]], jnp.int32)
+    ones = jnp.ones((1, 5), jnp.float32)
+    (cnt,) = _seg_chain(lab, [ones], [operator.add], reverse=True)
+    np.testing.assert_array_equal(
+        np.asarray(cnt[0]), [2.0, 1.0, 2.0, 1.0, 1.0])
+    (cnt_f,) = _seg_chain(lab, [ones], [operator.add])
+    np.testing.assert_array_equal(
+        np.asarray(cnt_f[0]), [1.0, 2.0, 1.0, 2.0, 1.0])
+    # gap of exactly a power of two, longer runs
+    lab2 = jnp.asarray([[7, 7, 7, -1, 7, 7, -1, -1, 7, 7, 7, 7]], jnp.int32)
+    ones2 = jnp.ones((1, 12), jnp.float32)
+    (c2,) = _seg_chain(lab2, [ones2], [operator.add], reverse=True)
+    assert np.asarray(c2[0]).tolist() == [3, 2, 1, 1, 2, 1, 2, 1, 4, 3, 2, 1]
+
+
+def test_swt_max_len_field_width_guard():
+    """r4 advisor (low): max_len > 1023 would overflow the 11-bit v-step
+    field of the encoded chain — must raise, not corrupt."""
+    page = _rgba(_text_page())
+    with pytest.raises(ValueError, match="max_len"):
+        swt(jnp.asarray(page), max_len=1024)
+
+
+def test_swt_debug_counts_within_caps():
+    """return_debug surfaces the true demand vs every static cap (no
+    silent truncation — r4 VERDICT weak #4)."""
+    page = _rgba(_text_page())
+    out, dbg = swt(jnp.asarray(page), return_debug=True)
+    assert out.shape == page.shape
+    assert int(dbg["n_anchors"].max()) <= dbg["max_rays"]
+    assert int(dbg["n_runs"].max()) <= dbg["max_runs"]
+    assert int(dbg["n_letters"].max()) <= dbg["max_letters"]
+    assert int(dbg["n_letters"].max()) >= 4  # the 4 strokes were seen
 
 
 def test_swt_rejects_huge_blob():
