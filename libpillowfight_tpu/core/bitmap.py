@@ -97,6 +97,16 @@ def words_to_gray(words: jax.Array) -> jax.Array:
     return (r + g + b) / 3.0
 
 
+def words_to_s3(words: jax.Array) -> jax.Array:
+    """uint32 words -> uint16 r+g+b in [0, 765] — the EXACT integer form
+    of 3*gray. Half the traffic of the f32 gray plane and integer-exact
+    block statistics (grayfilter means)."""
+    r = words & jnp.uint32(0xFF)
+    g = (words >> jnp.uint32(8)) & jnp.uint32(0xFF)
+    b = (words >> jnp.uint32(16)) & jnp.uint32(0xFF)
+    return (r + g + b).astype(jnp.uint16)
+
+
 def wipe_white_words(words: jax.Array, wipe: jax.Array) -> jax.Array:
     """Set RGB bytes of wiped pixels to 255, preserving alpha."""
     return jnp.where(wipe, words | jnp.uint32(0x00FFFFFF), words)

@@ -47,27 +47,96 @@ def packed_fits(h: int, w: int) -> bool:
 
 
 # ------------------------------------------------------------- packing
+#
+# pack/unpack are their own tiny Pallas kernels on TPU: every XLA
+# formulation tried (shift-reduce over a [B,Hq,32,W] reshape, MXU
+# contraction with power-of-two weights, sublane repeat + fused shift)
+# ends up paying one or more FULL-RESOLUTION relayout copies when
+# composed into a larger program (~0.7-2.6 ms extra at A4 x 8 on v5e,
+# vs a ~0.1 ms traffic bound). In-kernel, the [HT,W] <-> [32*HT,W]
+# interleave is a leading-dims reshape — layout-trivial for Mosaic.
+
+_PACK_TILE = 8  # packed words per grid step: [8,32,wp] u32 < 3 MB VMEM
+
+
+def _pack_kernel(x_ref, out_ref, *, ht, wp):
+    # i32 arithmetic (Mosaic lacks u32 reductions): disjoint-bit adds
+    # never carry, so the sum is the bitwise OR even with bit 31 set
+    x = x_ref[0].astype(jnp.int32).reshape(ht, 32, wp)
+    k = jax.lax.broadcasted_iota(jnp.int32, (ht, 32, wp), 1)
+    out_ref[0] = jax.lax.bitcast_convert_type(
+        jnp.sum(x << k, axis=1, dtype=jnp.int32), _U32)
+
+
+def _unpack_kernel(p_ref, out_ref, *, ht, wp):
+    p = jnp.broadcast_to(p_ref[0][:, None, :], (ht, 32, wp))
+    k = jax.lax.broadcasted_iota(_U32, (ht, 32, wp), 1)
+    bits = (p >> k) & _U32(1)
+    out_ref[0] = bits.reshape(ht * 32, wp).astype(jnp.int8)
+
+
+def _pack_pallas(x8: jax.Array) -> jax.Array:
+    b, h32, wp = x8.shape
+    hq = h32 // 32
+    ht = min(_PACK_TILE, hq)
+    n_t = -(-hq // ht)
+    if n_t * ht != hq:  # pad word rows to the tile
+        x8 = jnp.pad(x8, ((0, 0), (0, (n_t * ht - hq) * 32), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_pack_kernel, ht=ht, wp=wp),
+        grid=(b, n_t),
+        in_specs=[pl.BlockSpec((1, ht * 32, wp), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, ht, wp), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_t * ht, wp), _U32),
+    )(x8)
+    return out[:, :hq, :] if n_t * ht != hq else out
+
 
 def pack_rows(x: jax.Array) -> jax.Array:
     """bool/int [B, H, W] -> uint32 [B, ceil(H/32), W]; bit k of word
-    (q, x) = pixel (32q + k, x). Pure XLA (fused shift-reduce)."""
+    (q, x) = pixel (32q + k, x). Pallas kernel on TPU (see note above);
+    XLA shift-reduce elsewhere."""
     b, h, w = x.shape
     hq = (h + 31) // 32
+    if jax.default_backend() == "tpu" and w % 128 == 0:
+        x8 = x.astype(jnp.int8)
+        if hq * 32 != h:
+            x8 = jnp.pad(x8, ((0, 0), (0, hq * 32 - h), (0, 0)))
+        return _pack_pallas(x8)
     xp = x.astype(_U32)
     if hq * 32 != h:
         xp = jnp.pad(xp, ((0, 0), (0, hq * 32 - h), (0, 0)))
     xp = xp.reshape(b, hq, 32, w)
     shifts = jnp.arange(32, dtype=_U32).reshape(1, 1, 32, 1)
-    # bits are disjoint, so the sum IS the bitwise or (fused by XLA)
     return jnp.sum(xp << shifts, axis=2, dtype=_U32)
 
 
-def unpack_rows(p: jax.Array, h: int) -> jax.Array:
-    """uint32 [B, Hq, W] -> bool [B, H, W]."""
-    b, hq, w = p.shape
+def unpack_rows(p: jax.Array, h: int, w: int | None = None) -> jax.Array:
+    """uint32 [B, Hq, W] -> bool [B, H, W] (lane-sliced to `w` if given).
+    Pallas kernel on TPU; XLA bit-expand elsewhere."""
+    b, hq, wp = p.shape
+    if jax.default_backend() == "tpu" and wp % 128 == 0:
+        ht = min(_PACK_TILE, hq)
+        n_t = -(-hq // ht)
+        if n_t * ht != hq:
+            p = jnp.pad(p, ((0, 0), (0, n_t * ht - hq), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_unpack_kernel, ht=ht, wp=wp),
+            grid=(b, n_t),
+            in_specs=[pl.BlockSpec((1, ht, wp), lambda bb, i: (bb, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, ht * 32, wp), lambda bb, i: (bb, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n_t * ht * 32, wp), jnp.int8),
+        )(p)
+        out = out[:, :h, :]
+        return (out[:, :, :w] if w is not None and w != wp else out) != 0
     shifts = jnp.arange(32, dtype=_U32).reshape(1, 1, 32, 1)
     bits = (p[:, :, None, :] >> shifts) & _U32(1)
-    return bits.reshape(b, hq * 32, w)[:, :h, :].astype(bool)
+    full = bits.reshape(b, hq * 32, wp)[:, :h, :]
+    return (full[:, :, :w] if w is not None and w != wp else full).astype(bool)
 
 
 # ---------------------------------------------------- in-kernel helpers
@@ -233,8 +302,16 @@ def _flood_packed(m_packed: jax.Array, s_packed: jax.Array, leap: int,
 
     # a round whose dilate+gate changes nothing is the fixed point: the
     # preceding lane/row seg-ORs are re-applied at the start of the next
-    # round, so pending within-round work always resurfaces as a change
+    # round, so pending within-round work always resurfaces as a change.
+    #
+    # The first two rounds are PEELED out of the while_loop: scanned
+    # pages converge in round 1 (round 2 confirms with zero changes),
+    # and an XLA while iteration costs ~0.4 ms in carried-buffer
+    # copies on top of the ~0.34 ms of phase work (measured, v5e) —
+    # peeling makes the common case straight-line and the loop runs
+    # only for genuinely winding masks.
     r, chg = round_(s_packed & m_packed)
+    r, chg2 = round_(r)
 
     def cond(state):
         _, ch, i = state
@@ -245,7 +322,7 @@ def _flood_packed(m_packed: jax.Array, s_packed: jax.Array, leap: int,
         r2, c = round_(r)
         return r2, jnp.sum(c), i + 1
 
-    r, _, _ = jax.lax.while_loop(cond, body, (r, jnp.sum(chg), jnp.int32(1)))
+    r, _, _ = jax.lax.while_loop(cond, body, (r, jnp.sum(chg2), jnp.int32(2)))
     return r
 
 
@@ -265,16 +342,37 @@ def flood_reach_packed(seeds: jax.Array, mask: jax.Array,
     b, h, w = mask.shape
     if max_iters is None:
         max_iters = h * w + 2
+    mask = jnp.asarray(mask).astype(bool)
+    seeds = jnp.asarray(seeds).astype(bool) & mask
+    # lane pad at pixel level fuses into the pack kernel's i8 input
+    # materialization (one pass); the word-axis pad stays packed
     pw = -w % 128
     if pw:
-        mask = jnp.pad(mask.astype(bool), ((0, 0), (0, 0), (0, pw)))
-        seeds = jnp.pad(seeds.astype(bool), ((0, 0), (0, 0), (0, pw)))
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pw)))
+        seeds = jnp.pad(seeds, ((0, 0), (0, 0), (0, pw)))
     mp = pack_rows(mask)
-    sp = pack_rows(jnp.asarray(seeds).astype(bool) & jnp.asarray(mask).astype(bool))
-    # pad the word axis to the f32/int sublane tile
+    sp = pack_rows(seeds)
     ph = -mp.shape[1] % 8
     if ph:
         mp = jnp.pad(mp, ((0, 0), (0, ph), (0, 0)))
         sp = jnp.pad(sp, ((0, 0), (0, ph), (0, 0)))
     out = _flood_packed(mp, sp, leap, max_iters, interpret)
-    return unpack_rows(out, h)[:, :, :w]
+    return unpack_rows(out, h, w)
+
+
+def flood_reach_packed_words(seeds_w: jax.Array, mask_w: jax.Array,
+                             h: int, w: int, max_iters: int | None = None,
+                             leap: int = 1,
+                             interpret: bool = False) -> jax.Array:
+    """flood_reach_packed for callers that already hold PACKED u32 word
+    planes [B, ceil(H/32), Wp] (e.g. a Pallas producer that bit-packs
+    in-kernel — see noise_kernel._cert_band_kernel). Lanes must already
+    be padded to 128. Returns bool [B, h, w]."""
+    if max_iters is None:
+        max_iters = h * w + 2
+    ph = -mask_w.shape[1] % 8
+    if ph:
+        mask_w = jnp.pad(mask_w, ((0, 0), (0, ph), (0, 0)))
+        seeds_w = jnp.pad(seeds_w, ((0, 0), (0, ph), (0, 0)))
+    out = _flood_packed(mask_w, seeds_w, leap, max_iters, interpret)
+    return unpack_rows(out, h, w)

@@ -698,8 +698,10 @@ def swt(
     [B,H,W] (or single page) in; same form out.
 
     max_rays bounds the compacted valid-ray list for the median clamp
-    (default H*W//16 — ONE budget shared by both polarities' anchor
-    union); max_len bounds ray length in pixels (<= 1023: the encoded
+    (default H*W//8 — ONE budget shared by both polarities' anchor
+    union; anchors are canny edge pixels, 1-px lines, so 12.5% covers
+    any real page and return_debug audits the rest); max_len bounds ray
+    length in pixels (<= 1023: the encoded
     chain packs the v-step count into 11 bits); max_runs bounds the
     compacted row-run list for component statistics (default H*W//16 —
     a run is a maximal same-component span in one row, so the bound is
@@ -726,7 +728,7 @@ def swt(
     gray = words_to_gray(words)
     _, h, w = gray.shape
     if max_rays is None:
-        max_rays = max_edges if max_edges is not None else max(h * w // 16, 512)
+        max_rays = max_edges if max_edges is not None else max(h * w // 8, 1024)
     if max_runs is None:
         max_runs = (max_valid if max_valid is not None
                     else max(h * w // 16, 1024))

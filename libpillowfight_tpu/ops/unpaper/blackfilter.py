@@ -15,7 +15,7 @@ import jax
 
 from ...core import constants as C
 from ..morph import flood_reach
-from .common import (apply_wipe, block_sums, coverage_from_blocks,
+from .common import (apply_wipe, block_counts, coverage_from_blocks,
                      dark_mask)
 
 
@@ -36,7 +36,7 @@ def blackfilter_wipe_dark(
     dark pixels within Chebyshev distance `intensity` are connected, so
     a black scan border broken by specks of white still floods end to
     end; the gap pixels themselves are never wiped."""
-    counts = block_sums(dark, scan_size, scan_step)
+    counts = block_counts(dark, scan_size, scan_step)
     triggered = counts >= (scan_threshold * scan_size * scan_size)
     seed_area = coverage_from_blocks(triggered, dark.shape, scan_size, scan_step)
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core import constants as C
-from .common import (apply_wipe, block_sums, coverage_from_blocks,
+from .common import (apply_wipe, block_counts, coverage_from_blocks,
                      nonwhite_mask)
 
 
@@ -28,7 +28,7 @@ def blurfilter_wipe_nonwhite(
     intensity: float = C.BLURFILTER_INTENSITY,
 ) -> jax.Array:
     """Decision core on a precomputed non-white plane (bool [B,H,W])."""
-    ratios = block_sums(mask, size, step) / float(size * size)
+    ratios = block_counts(mask, size, step) / float(size * size)
     d = max(size // step, 1)
     # max over the 8 neighbor cells at offset d (edge cells: missing
     # neighbors count as clean, matching unpaper's border behavior)

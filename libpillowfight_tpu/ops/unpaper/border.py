@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core import constants as C
-from .common import apply_wipe, dark_mask
+from .common import apply_wipe, dark_mask, line_counts
 
 
 def _border_extent(line_counts: jax.Array, extent: int, size: int, step: int,
@@ -50,8 +50,7 @@ def border_wipe_dark(
     """Decision core on a precomputed dark plane (bool [B,H,W])."""
     b, h, w = dark.shape
 
-    row_counts = jnp.sum(dark, axis=2, dtype=jnp.float32)  # [B, H]
-    col_counts = jnp.sum(dark, axis=1, dtype=jnp.float32)  # [B, W]
+    row_counts, col_counts = line_counts(dark)  # [B,H], [B,W]
 
     top = _border_extent(row_counts, h, scan_size, scan_step, scan_threshold, False)
     bottom = _border_extent(row_counts, h, scan_size, scan_step, scan_threshold, True)

@@ -61,6 +61,80 @@ def block_sums(x: jax.Array, size: int, step: int) -> jax.Array:
     )
 
 
+def block_sums_u16(x: jax.Array, size: int, step: int) -> jax.Array:
+    """Exact strided window sums for uint16 planes (e.g. s3 = r+g+b,
+    values <= 765): the H stage reduces in uint16 (exact while
+    size*765 < 65536, i.e. size <= 85), the W stage in f32 on the
+    step-shrunk plane. Half the HBM traffic of the f32 block_sums and
+    integer-exact. Returns f32 [B,nby,nbx]."""
+    assert size * 765 < 65536, size
+    y = jax.lax.reduce_window(
+        x, jnp.uint16(0), jax.lax.add, (1, size, 1), (1, step, 1), "VALID",
+    )
+    return jax.lax.reduce_window(
+        y.astype(jnp.float32), 0.0, jax.lax.add,
+        (1, 1, size), (1, 1, step), "VALID",
+    )
+
+
+def _window_sel(n: int, size: int, step: int) -> jax.Array:
+    """[n, nb] bf16 0/1 selection matrix: column i covers
+    [i*step, i*step+size)."""
+    import numpy as np
+
+    nb = (n - size) // step + 1
+    s = np.zeros((n, nb), np.float32)
+    for i in range(nb):
+        s[i * step : i * step + size, i] = 1.0
+    return jnp.asarray(s, jnp.bfloat16)
+
+
+def block_counts(x: jax.Array, size: int, step: int) -> jax.Array:
+    """block_sums for 0/1 (bool) planes, lowered to two MXU matmuls with
+    0/1 selection matrices instead of reduce_window.
+
+    Why: TPU reduce_window pins a layout per reduction axis, and XLA's
+    layout assignment inserts full-plane bool relayout copies between
+    the H-pass and the W-pass (measured ~2 ms extra at A4x8 on v5e —
+    ~3x the whole statistic). Matmuls carry no layout constraint and the
+    MXU does the 0/1 contraction at ~0.1 ms. Exact: 0/1 values and
+    their products are exact in bf16, and the MXU accumulates in f32
+    (integer-exact far beyond any size*size window count)."""
+    hn, wn = x.shape[1], x.shape[2]
+    xb = x.astype(jnp.bfloat16)
+    # contract H: [B,H,W] x [H,nby] -> [B,W,nby]
+    y = jax.lax.dot_general(
+        xb, _window_sel(hn, size, step), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # contract W: [B,nby,W] x [W,nbx] -> [B,nby,nbx]
+    return jax.lax.dot_general(
+        y.astype(jnp.bfloat16).transpose(0, 2, 1),
+        _window_sel(wn, size, step), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def line_counts(dark: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(row_counts [B,H], col_counts [B,W]) f32 dark-pixel counts, as two
+    MXU contractions with a ones MATRIX (0/1 exact in bf16, f32
+    accumulate; column 0 of the result is the count).
+
+    Why not jnp.sum / a ones-vector matvec: XLA canonicalizes both into
+    a lane-axis reduce whose layout preference propagates all the way to
+    the jit entry, relayout-copying the WHOLE upstream u32 page plane
+    twice (measured ~1.7 ms extra at A4x8 on v5e). A genuine [N,128]
+    matmul keeps layout assignment neutral and costs ~0.1 ms on the
+    MXU."""
+    b, h, w = dark.shape
+    xb = dark.astype(jnp.bfloat16)
+    ones_w = jnp.ones((w, 128), jnp.bfloat16)
+    ones_h = jnp.ones((h, 128), jnp.bfloat16)
+    rows = jax.lax.dot_general(xb, ones_w, (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)[..., 0]
+    cols = jax.lax.dot_general(xb, ones_h, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)[..., 0]
+    return rows, cols
+
+
 def _trailing_or(x: jax.Array, size: int, axis: int) -> jax.Array:
     """out[i] = any(x[i-size+1 : i+1]) along axis. OR is idempotent, so
     doubling shifts give O(log size) passes — stride-1 reduce_window

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core import constants as C
-from .common import apply_wipe, dark_mask
+from .common import apply_wipe, dark_mask, line_counts
 
 
 def _mask_edge(line_counts: jax.Array, perp_extent: int, center: int, size: int,
@@ -81,8 +81,7 @@ def masks_wipe_dark(
     if starts is None:
         starts = ((h // 2, w // 2),)
 
-    row_counts = jnp.sum(dark, axis=2, dtype=jnp.float32)  # [B, H]
-    col_counts = jnp.sum(dark, axis=1, dtype=jnp.float32)  # [B, W]
+    row_counts, col_counts = line_counts(dark)  # [B,H], [B,W]
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)

@@ -29,6 +29,7 @@ from ..core.bitmap import (
     wipe_white_words,
     words_to_gray,
     words_to_pages,
+    words_to_s3,
 )
 from ..core import constants as C
 from ..ops import (
@@ -48,7 +49,7 @@ from ..ops.unpaper.blackfilter import blackfilter_wipe, blackfilter_wipe_dark
 from ..ops.unpaper.blurfilter import blurfilter_wipe, blurfilter_wipe_nonwhite
 from ..ops.unpaper.border import border_wipe, border_wipe_dark
 from ..ops.unpaper.common import dark_mask, nonwhite_mask, wipe_white
-from ..ops.unpaper.grayfilter import grayfilter_wipe, grayfilter_wipe_planes
+from ..ops.unpaper.grayfilter import grayfilter_wipe, grayfilter_wipe_planes_s3
 from ..ops.unpaper.masks import masks_wipe, masks_wipe_dark
 from ..ops.unpaper.noisefilter import noisefilter_wipe, noisefilter_wipe_nonwhite
 
@@ -181,9 +182,12 @@ def _run_unpaper_group(pages: jax.Array, group) -> jax.Array:
         elif name == "unpaper_masks":
             wipe = masks_wipe_dark(dark(), **kw)
         elif name == "unpaper_grayfilter":
-            g = gray0 if not wipes else jnp.where(acc(), jnp.float32(255.0),
-                                                  gray0)
-            wipe = grayfilter_wipe_planes(dark(), g, **kw)
+            # integer s3 = r+g+b (u16, half the f32 gray traffic); a
+            # wiped pixel is exactly white = 765
+            s3_0 = words_to_s3(words)
+            g3 = s3_0 if not wipes else jnp.where(acc(), jnp.uint16(765),
+                                                  s3_0)
+            wipe = grayfilter_wipe_planes_s3(dark(), g3, **kw)
         else:  # unpaper_border
             wipe = border_wipe_dark(dark(), **kw)
         wipes.append(wipe)
