@@ -49,17 +49,24 @@ def _bench_tpu(pages, iters=3):
         DOCUMENT_CLEANUP, normalize_spec, run_pipeline,
     )
 
-    from libpillowfight_tpu.core.bitmap import host_pages_to_words
+    from libpillowfight_tpu.core.bitmap import host_pages_to_words, put_row_major
 
     spec = normalize_spec(DOCUMENT_CLEANUP)
     # two distinct device-resident dirty batches: every timed iteration
     # processes a FRESH page (output-feeds-input chaining would hand later
     # iterations an already-clean page, understating the flood-fill work)
     # Transport form: u32 words (free host-side view; the u8 last-dim-4
-    # layout wastes TPU lanes — bitmap.pages_to_words)
-    xs = [jnp.asarray(host_pages_to_words(pages)),
-          jnp.asarray(host_pages_to_words(_pages(*pages.shape[:3], seed=1)))]
-    fn = jax.jit(lambda p: run_pipeline(p, spec))
+    # layout wastes TPU lanes — bitmap.pages_to_words), transferred
+    # row-major (the XLA default layout for A4 planes is H-on-lanes,
+    # which costs two full-plane relayouts per call — bitmap.put_row_major)
+    xs = [put_row_major(host_pages_to_words(pages)),
+          put_row_major(host_pages_to_words(_pages(*pages.shape[:3], seed=1)))]
+    try:
+        fmt = xs[0].format
+        fn = jax.jit(lambda p: run_pipeline(p, spec),
+                     in_shardings=fmt, out_shardings=fmt)
+    except Exception:
+        fn = jax.jit(lambda p: run_pipeline(p, spec))
 
     def fetch(o):
         # blocking scalar fetch: forces real execution (block_until_ready

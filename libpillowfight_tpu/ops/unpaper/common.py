@@ -90,27 +90,38 @@ def _window_sel(n: int, size: int, step: int) -> jax.Array:
 
 
 def block_counts(x: jax.Array, size: int, step: int) -> jax.Array:
-    """block_sums for 0/1 (bool) planes, lowered to two MXU matmuls with
-    0/1 selection matrices instead of reduce_window.
+    """block_sums for 0/1 (bool) planes: H pass as a strided
+    reduce_window (runs in the plane's natural layout), W pass as ONE
+    MXU matmul with a 0/1 selection matrix on the step-shrunk plane.
 
-    Why: TPU reduce_window pins a layout per reduction axis, and XLA's
-    layout assignment inserts full-plane bool relayout copies between
-    the H-pass and the W-pass (measured ~2 ms extra at A4x8 on v5e —
-    ~3x the whole statistic). Matmuls carry no layout constraint and the
-    MXU does the 0/1 contraction at ~0.1 ms. Exact: 0/1 values and
-    their products are exact in bf16, and the MXU accumulates in f32
-    (integer-exact far beyond any size*size window count)."""
+    Why not two reduce_windows: the W-axis reduce_window pins a
+    different layout than the H one, and XLA inserts a full-plane bool
+    relayout copy between them (measured ~2 ms extra at A4x8 on v5e —
+    ~3x the whole statistic). The H pass picks between a reduce_window
+    (natural layout) and an MXU contraction by output size: the MXU is
+    dense over the sparse selection, so its cost scales with nby (fine
+    for blurfilter's 69 block rows, ~0.5 ms of waste for blackfilter's
+    698). The W pass is always a small layout-free matmul. Exact: 0/1
+    values/products are exact in bf16, intermediate sums <= size <= 256
+    are exact bf16 integers, and the f32 accumulator is integer-exact
+    far beyond any window count."""
     hn, wn = x.shape[1], x.shape[2]
-    xb = x.astype(jnp.bfloat16)
-    # contract H: [B,H,W] x [H,nby] -> [B,W,nby]
-    y = jax.lax.dot_general(
-        xb, _window_sel(hn, size, step), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # contract W: [B,nby,W] x [W,nbx] -> [B,nby,nbx]
+    nby = (hn - size) // step + 1
+    assert size <= 256  # intermediate sums must stay exact in bf16
+    if nby <= 256:
+        y = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), _window_sel(hn, size, step),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [B, W, nby]
+        y = y.astype(jnp.bfloat16).transpose(0, 2, 1)  # [B, nby, W]
+    else:
+        y = jax.lax.reduce_window(
+            x.astype(jnp.float32), 0.0, jax.lax.add,
+            (1, size, 1), (1, step, 1), "VALID",
+        ).astype(jnp.bfloat16)  # [B, nby, W]
     return jax.lax.dot_general(
-        y.astype(jnp.bfloat16).transpose(0, 2, 1),
-        _window_sel(wn, size, step), (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        y, _window_sel(wn, size, step),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
 def line_counts(dark: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -101,5 +101,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_pages(pages: jax.Array, mesh: Mesh) -> jax.Array:
-    """Place a page batch on the mesh (B over pages-axis, H over rows-axis)."""
+    """Place a page batch on the mesh (B over pages-axis, H over rows-axis).
+
+    NOT layout-pinned: the unpinned jit a BatchRunner compiles keys its
+    persistent-cache entry without the arg layout (jax 0.9 + this
+    backend), so mixing pinned arrays with unpinned jits can replay a
+    stale executable and fail at runtime. Benchmarks pin BOTH sides
+    (bitmap.put_row_major + explicit in_shardings/out_shardings)."""
     return jax.device_put(pages, page_sharding(mesh))

@@ -187,18 +187,29 @@ def _with_oracle(rec, name, h, w, mps_key="mp_per_s_chip"):
     return rec
 
 
-def _device_batches(b, h, w, n=2):
-    import jax.numpy as jnp
+def _jit_rm(f, sample):
+    """jit pinned to the sample array's (row-major) format: the layout
+    reaches the executable AND its persistent-cache key (an unpinned
+    jit would omit it and could replay a stale default-layout binary)."""
+    import jax
 
-    return [jnp.asarray(_scan_pages(b, h, w, seed=s)) for s in range(n)]
+    try:
+        return jax.jit(f, in_shardings=(sample.format,))
+    except Exception:
+        return jax.jit(f)
+
+
+def _device_batches(b, h, w, n=2):
+    from libpillowfight_tpu.core.bitmap import put_row_major
+
+    return [put_row_major(_scan_pages(b, h, w, seed=s)) for s in range(n)]
 
 
 def _word_batches(b, h, w, n=2):
-    import jax.numpy as jnp
+    from libpillowfight_tpu.core.bitmap import (host_pages_to_words,
+                                                put_row_major)
 
-    from libpillowfight_tpu.core.bitmap import host_pages_to_words
-
-    return [jnp.asarray(host_pages_to_words(_scan_pages(b, h, w, seed=s)))
+    return [put_row_major(host_pages_to_words(_scan_pages(b, h, w, seed=s)))
             for s in range(n)]
 
 
@@ -218,7 +229,7 @@ def run_config(idx, quick):
 
     if idx == 1:  # Sobel, one 300dpi A4 page
         xs = _device_batches(1, h, w)
-        dt = _timed(jax.jit(sobel), xs, 3)
+        dt = _timed(_jit_rm(sobel, xs[0]), xs, 3)
         dtd = _device_time(sobel, xs[0])
         mp = h * w / 1e6
         return _with_oracle(_roofline_fields(
@@ -230,10 +241,10 @@ def run_config(idx, quick):
         from libpillowfight_tpu.parallel.batch import map_chunked
 
         b = 8 if quick else 64
-        xs = _device_batches(b, h, w)
         # canny holds ~6 full-res f32 planes; at batch 64 that exceeds
         # one chip's HBM — stream 16 pages at a time inside one jit
-        fn = jax.jit(lambda p: map_chunked(canny, p, 16))
+        xs = _device_batches(b, h, w)
+        fn = _jit_rm(lambda p: map_chunked(canny, p, 16), xs[0])
         dt = _timed(fn, xs, 3)
         dtd = _device_time(fn, xs[0], iters=2)
         mp = b * h * w / 1e6
@@ -245,8 +256,8 @@ def run_config(idx, quick):
     if idx == 3:  # unpaper chain, 256 pages (chunked)
         b = 8 if quick else 16
         chunks = 2 if quick else 16  # 16 x 16 = 256 pages
-        fn = compile_pipeline(DOCUMENT_CLEANUP)
         xs = _word_batches(b, h, w, n=2)  # u32 word transport (free host view)
+        fn = _jit_rm(compile_pipeline(DOCUMENT_CLEANUP), xs[0])
         dt = _timed(fn, xs, chunks)
         dtd = _device_time(fn, xs[0])
         pages = b
@@ -260,7 +271,7 @@ def run_config(idx, quick):
     if idx == 4:  # ACE on 600dpi color scans
         hh, ww = (A4_600[0] // 2, A4_600[1] // 2) if quick else A4_600
         xs = _device_batches(1, hh, ww)
-        fn = jax.jit(lambda p: ace(p))
+        fn = _jit_rm(lambda p: ace(p), xs[0])
         dt = _timed(fn, xs, 3)
         dtd = _device_time(fn, xs[0], iters=2)
         mp = hh * ww / 1e6
@@ -273,8 +284,8 @@ def run_config(idx, quick):
         b = 1
         hh, ww = (h // 2, w // 2) if quick else (h, w)
         cleanup = compile_pipeline(DOCUMENT_CLEANUP)
-        fn = jax.jit(lambda p: swt(cleanup(p)))
         xs = _word_batches(b, hh, ww)
+        fn = _jit_rm(lambda p: swt(cleanup(p)), xs[0])
         dt = _timed(fn, xs, 2)
         dtd = _device_time(fn, xs[0], iters=2)
         mp = b * hh * ww / 1e6
@@ -293,16 +304,16 @@ def run_config(idx, quick):
         n_px = b * h * w
         mp = n_px / 1e6
         kernels = {
-            "gaussian": jax.jit(lambda p: gaussian(p)),
-            "sobel": jax.jit(sobel),
-            "canny": jax.jit(lambda p: canny(p)),
-            "ace": jax.jit(lambda p: ace(p)),
-            "unpaper_blackfilter": jax.jit(unpaper.unpaper_blackfilter),
-            "unpaper_noisefilter": jax.jit(unpaper.unpaper_noisefilter),
-            "unpaper_blurfilter": jax.jit(unpaper.unpaper_blurfilter),
-            "unpaper_grayfilter": jax.jit(unpaper.unpaper_grayfilter),
-            "unpaper_border": jax.jit(unpaper.unpaper_border),
-            "unpaper_masks": jax.jit(unpaper.unpaper_masks),
+            "gaussian": _jit_rm(lambda p: gaussian(p), xs[0]),
+            "sobel": _jit_rm(sobel, xs[0]),
+            "canny": _jit_rm(lambda p: canny(p), xs[0]),
+            "ace": _jit_rm(lambda p: ace(p), xs[0]),
+            "unpaper_blackfilter": _jit_rm(unpaper.unpaper_blackfilter, xs[0]),
+            "unpaper_noisefilter": _jit_rm(unpaper.unpaper_noisefilter, xs[0]),
+            "unpaper_blurfilter": _jit_rm(unpaper.unpaper_blurfilter, xs[0]),
+            "unpaper_grayfilter": _jit_rm(unpaper.unpaper_grayfilter, xs[0]),
+            "unpaper_border": _jit_rm(unpaper.unpaper_border, xs[0]),
+            "unpaper_masks": _jit_rm(unpaper.unpaper_masks, xs[0]),
         }
         per = {}
         for name, fn in kernels.items():

@@ -33,8 +33,10 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
 
+    from libpillowfight_tpu.core.bitmap import put_row_major
+
     h, w = 3508, 2480
-    pages = jnp.asarray(_pages(args.b, h, w))
+    pages = put_row_major(_pages(args.b, h, w))
     gray = jax.jit(rgba_to_gray)(pages)
     gray.block_until_ready()
     mp = args.b * h * w / 1e6
@@ -62,7 +64,7 @@ def main():
     report("FUSED CHAIN (RGBA u8 in/out)", lambda p: run_pipeline(p, spec), pages)
 
     from libpillowfight_tpu.core.bitmap import host_pages_to_words
-    words = jnp.asarray(host_pages_to_words(_pages(args.b, h, w)))
+    words = put_row_major(host_pages_to_words(_pages(args.b, h, w)))
     report("FUSED CHAIN (u32 words in/out)", lambda p: run_pipeline(p, spec),
            words)
 
