@@ -41,7 +41,8 @@ def _pages(b, h, w, seed=0):
 
 def _bench_tpu(pages, iters=3):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import tempfile as _tf
+    jax.config.update("jax_compilation_cache_dir", _tf.mkdtemp(prefix="jaxcache_"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 

@@ -115,8 +115,13 @@ def block_counts(x: jax.Array, size: int, step: int) -> jax.Array:
             preferred_element_type=jnp.float32)  # [B, W, nby]
         y = y.astype(jnp.bfloat16).transpose(0, 2, 1)  # [B, nby, W]
     else:
+        # i8 accumulation (window counts <= size <= 127): the f32 form
+        # made XLA materialize a full-resolution f32 copy of the bool
+        # plane as the reduce_window input (278 MB at A4x8); the i8
+        # plane is 4x smaller and the pred->i8 convert fuses
+        assert size <= 127
         y = jax.lax.reduce_window(
-            x.astype(jnp.float32), 0.0, jax.lax.add,
+            x.astype(jnp.int8), jnp.int8(0), jax.lax.add,
             (1, size, 1), (1, step, 1), "VALID",
         ).astype(jnp.bfloat16)  # [B, nby, W]
     return jax.lax.dot_general(
@@ -201,14 +206,57 @@ def _expand_axis(g: jax.Array, n_pix: int, size: int, step: int,
     return jnp.where(is_hi.reshape(shape), hi, lo)
 
 
+def _expand_lanes_mm(g: jax.Array, n_pix: int, size: int, step: int
+                     ) -> jax.Array:
+    """Lane-axis coverage expansion as ONE MXU matmul with a 0/1
+    expansion matrix (phase-select folded in): out[..., x] =
+    trailing-OR grid at x//step, picking the hi/lo tap count by the
+    stride phase. The jnp.repeat formulation lowers to a bitcast
+    reshape whose H-minor layout costs a full-plane pred relayout copy
+    per call site (~0.3 ms each at A4x8); matmuls are layout-neutral."""
+    import numpy as np
+
+    ax = g.ndim - 1
+    nb = g.shape[ax]
+    q_n = (n_pix - 1) // step + 1
+    if q_n > nb:
+        pad = [(0, 0)] * g.ndim
+        pad[ax] = (0, q_n - nb)
+        g = jnp.pad(g, pad)
+    t_hi = (size - 1) // step + 1
+    t_lo = max((size - step) // step + 1, 0) if size >= step else 0
+    hi = _trailing_or(g, t_hi, ax).astype(jnp.bfloat16)
+    e_hi = np.zeros((q_n, n_pix), np.float32)
+    for x in range(n_pix):
+        r = x % step
+        is_hi = r <= (size - 1 - (t_hi - 1) * step)
+        if t_lo == t_hi or is_hi:
+            e_hi[x // step, x] = 1.0
+    out = jax.lax.dot_general(
+        hi, jnp.asarray(e_hi, jnp.bfloat16), (((ax,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if t_lo != t_hi:
+        lo = _trailing_or(g, t_lo, ax).astype(jnp.bfloat16)
+        e_lo = np.zeros((q_n, n_pix), np.float32)
+        for x in range(n_pix):
+            r = x % step
+            if not (r <= (size - 1 - (t_hi - 1) * step)):
+                e_lo[x // step, x] = 1.0
+        out = out + jax.lax.dot_general(
+            lo, jnp.asarray(e_lo, jnp.bfloat16), (((ax,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return out > 0.5
+
+
 def coverage_from_blocks(blocks: jax.Array, shape: tuple[int, int, int],
                          size: int, step: int) -> jax.Array:
     """Inverse of block_sums' footprint: bool grid [B,nby,nbx] -> bool pixel
     mask [B,H,W] true where the pixel is covered by any selected block.
-    Separable: expand rows at grid width first (cheap), then columns."""
+    Separable: expand rows at grid width first (cheap), then columns via
+    an MXU matmul (see _expand_lanes_mm)."""
     b, h, w = shape
-    return _expand_axis(_expand_axis(blocks, h, size, step, 1),
-                        w, size, step, 2)
+    rows = _expand_axis(blocks, h, size, step, 1)
+    return _expand_lanes_mm(rows, w, size, step)
 
 
 def wipe_white(pages: jax.Array, wipe: jax.Array) -> jax.Array:

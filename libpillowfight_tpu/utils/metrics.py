@@ -64,16 +64,11 @@ def device_time(fn, *args, iters: int = 8):
     tgt = next((i for i, leaf in enumerate(flat)
                 if jnp.asarray(leaf).dtype != jnp.bool_), 0)
 
-    # pin the chained jit to each arg's CURRENT format: measures with
-    # the layouts the caller actually provided, and keys the persistent
-    # compile cache on them (an unpinned jit's cache entry omits arg
-    # layouts on this backend and can replay a stale executable)
-    try:
-        flat = [jnp.asarray(l) for l in flat]
-        in_fmts = ([f.format for f in flat],)
-    except Exception:
-        in_fmts = None
-
+    # The chained jit is NOT layout-pinned: it compiles for the layouts
+    # of the arrays actually passed (so measurements see the caller's
+    # layouts), and explicit Format pinning composed badly with the
+    # scan wrapper + persistent cache on this backend (runtime
+    # InvalidArgument). Callers keep one layout policy per cache dir.
     def chained(k):
         def run(flat):
             def body(tok, _):
@@ -95,11 +90,6 @@ def device_time(fn, *args, iters: int = 8):
                 return jnp.where(jnp.isfinite(tok2), tok2, 0.0) * 1e-20, ()
             tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
             return tok
-        if in_fmts is not None:
-            try:
-                return jax.jit(run, in_shardings=in_fmts)
-            except Exception:
-                pass
         return jax.jit(run)
 
     run_k, run_2k = chained(iters), chained(2 * iters)

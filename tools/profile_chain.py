@@ -11,7 +11,8 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+import tempfile as _tf
+jax.config.update("jax_compilation_cache_dir", _tf.mkdtemp(prefix="jaxcache_"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from bench import _pages

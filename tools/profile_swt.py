@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+import tempfile as _tf
+jax.config.update("jax_compilation_cache_dir", _tf.mkdtemp(prefix="jaxcache_"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from libpillowfight_tpu.core import constants as C
