@@ -52,12 +52,19 @@ def _tile_h(h: int, wp: int, k: int) -> int:
     return max(th, ((2 * k + 31) // 32) * 32)  # carry needs th >= 2k
 
 
-def _lane_shift(x, s):
-    """Value at lane i-s (s may be negative); zero filled. Static s."""
+def _lane_shift(x, s, wrap_ok=False):
+    """Value at lane i-s (s may be negative); zero filled. Static s.
+
+    wrap_ok=True skips the zero-fill mask (1 VPU op instead of 3): safe
+    when the caller's lane padding is >= |s| zeros, so wrapped-in values
+    land only in pad lanes (sliced away) and the pad contributes zeros
+    to real lanes."""
     if s == 0:
         return x
     n = x.shape[-1]
     r = pltpu.roll(x, s % n, axis=len(x.shape) - 1)
+    if wrap_ok:
+        return r
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
     keep = idx >= s if s > 0 else idx < n + s
     return jnp.where(keep, r, jnp.zeros_like(r))
@@ -137,7 +144,7 @@ def _shift_board(words, amt, nw, board):
 
 
 def _noise_band_kernel(m_ref, out_ref, carry_ref, *, tile_h, width, k,
-                       steps, cert_thresh):
+                       steps, cert_thresh, wrap_ok=False):
     """One band of the ball-count sweep (top-down, outputs lagged 2k).
 
     k is the board radius (window (2k+1)^2) and `steps` the number of
@@ -159,7 +166,7 @@ def _noise_band_kernel(m_ref, out_ref, carry_ref, *, tile_h, width, k,
     # hstrip[r, x] bit (dx+k) = mask[r, x+dx]
     hstrip = jnp.zeros_like(m_ext)
     for dx in range(-k, k + 1):
-        hstrip = hstrip | (_lane_shift(m_ext, -dx) << u(dx + k))
+        hstrip = hstrip | (_lane_shift(m_ext, -dx, wrap_ok) << u(dx + k))
 
     # window boards per output pixel: insert row-d strip at bit d*s
     m_words = [jnp.zeros((tile_h, width), jnp.uint32) for _ in range(nw)]
@@ -214,7 +221,7 @@ def _pack32(x, th, wp):
 
 
 def _cert_band_kernel(m_ref, cert_ref, mask_ref, carry_ref, *, tile_h,
-                      width, k, cert_thresh):
+                      width, k, cert_thresh, wrap_ok=False):
     """Certificate sweep emitting PACKED (32 rows/word) cert + mask
     planes, ready for the bit-packed flood — no i8 result plane, no
     separate pack passes. Same band/carry structure as
@@ -231,7 +238,7 @@ def _cert_band_kernel(m_ref, cert_ref, mask_ref, carry_ref, *, tile_h,
 
     hstrip = jnp.zeros_like(m_ext)
     for dx in range(-k, k + 1):
-        hstrip = hstrip | (_lane_shift(m_ext, -dx) << u(dx + k))
+        hstrip = hstrip | (_lane_shift(m_ext, -dx, wrap_ok) << u(dx + k))
 
     m_words = [jnp.zeros((tile_h, width), jnp.uint32) for _ in range(nw)]
     for d in range(s):
@@ -277,15 +284,16 @@ def _cert_band_kernel(m_ref, cert_ref, mask_ref, carry_ref, *, tile_h,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "steps", "cert_thresh",
-                                             "interpret"))
+                                             "wrap_ok", "interpret"))
 def _noise_sweep(mask_in: jax.Array, k: int, steps: int | None = None,
-                 cert_thresh: int | None = None, interpret: bool = False):
+                 cert_thresh: int | None = None, wrap_ok: bool = False,
+                 interpret: bool = False):
     b, hp, wp = mask_in.shape
     th = _tile_h(hp, wp, k)
     n_tiles = hp // th
     kernel = functools.partial(_noise_band_kernel, tile_h=th, width=wp, k=k,
                                steps=k if steps is None else steps,
-                               cert_thresh=cert_thresh)
+                               cert_thresh=cert_thresh, wrap_ok=wrap_ok)
     band = pl.BlockSpec((1, th, wp), lambda bb, i: (bb, i, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -310,16 +318,19 @@ def _ball_sweep(mask: jax.Array, k_board: int, steps: int,
     hp = -(-(h + 2 * k_board) // th) * th
     m_in = jnp.pad(mask.astype(jnp.int8),
                    ((0, 0), (k_board, hp - h - k_board), (0, pw)))
+    # wrapped lane rolls only corrupt the trailing k pad lanes, which
+    # the slice below drops — safe when the pad holds them
     out = _noise_sweep(m_in, k_board, steps=steps, cert_thresh=cert_thresh,
-                       interpret=interpret)
+                       wrap_ok=pw >= k_board, interpret=interpret)
     return out[:, 2 * k_board : 2 * k_board + h, :w] != 0
 
 
 _CERT_TILE = 256  # multiple of 256: packed stores need 8-aligned word rows
 
 
-@functools.partial(jax.jit, static_argnames=("j", "thresh", "interpret"))
-def _cert_sweep(m_in: jax.Array, j: int, thresh: int,
+@functools.partial(jax.jit, static_argnames=("j", "thresh", "wrap_ok",
+                                             "interpret"))
+def _cert_sweep(m_in: jax.Array, j: int, thresh: int, wrap_ok: bool = False,
                 interpret: bool = False):
     """Packed-output certificate sweep: [B,hp,wp] i8 -> two u32 word
     planes [B, hp//32, wp] (certs, mask). hp must be a _CERT_TILE
@@ -328,7 +339,7 @@ def _cert_sweep(m_in: jax.Array, j: int, thresh: int,
     th = min(_CERT_TILE, hp)
     n_tiles = hp // th
     kernel = functools.partial(_cert_band_kernel, tile_h=th, width=wp,
-                               k=j, cert_thresh=thresh)
+                               k=j, cert_thresh=thresh, wrap_ok=wrap_ok)
     in_band = pl.BlockSpec((1, th, wp), lambda bb, i: (bb, i, 0),
                            memory_space=pltpu.VMEM)
     # whole word plane per page (Hq x W u32 is ~1 MB at A4): bands
@@ -389,7 +400,13 @@ def small_cluster_mask_pallas(mask: jax.Array, k: int,
             hp = -(-need // _CERT_TILE) * _CERT_TILE
             m_in = jnp.pad(mask.astype(jnp.int8),
                            ((0, 0), (p_t, hp - h - p_t), (0, pw)))
-            certw, maskw = _cert_sweep(m_in, j, k + 1, interpret=interpret)
+            # wrap garbage lands in the trailing j pad lanes of the
+            # PACKED planes the flood consumes: require the pad to both
+            # hold it (>= j) and isolate it from real lanes by more
+            # than the flood's connectivity radius (leap=1)
+            certw, maskw = _cert_sweep(m_in, j, k + 1,
+                                       wrap_ok=pw >= 2 * j + 2,
+                                       interpret=interpret)
             certw = certw[:, 1 : 1 + hq]
             maskw = maskw[:, 1 : 1 + hq]
             big = flood_reach_packed_words(certw, maskw, h, w,
