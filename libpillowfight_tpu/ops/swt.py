@@ -210,7 +210,8 @@ def _decode_chain(enc: jax.Array, k: int):
     return d, u, c, lat & hit
 
 
-_MED_SAMPLES = 17  # evenly subsampled ray profile for the median clamp
+_MED_SAMPLES = 13  # ray cells 0..12 sampled for the median clamp (rays
+                   # of <= 13 cells get the exact per-cell median)
 
 
 def _class_commit(k: int, s: int, down, up, edge_cls, is_edge, t_units,
@@ -328,49 +329,45 @@ def _swt_maps_one(gray, edges, max_rays, max_len):
                 a_units[s] = jnp.where(is_anchor, u_dn, a_units[s])
                 a_k[s] = jnp.where(is_anchor, jnp.int8(kk), a_k[s])
 
-    # ---- median clamp (pass 2, ref: swt.c / Epshtein sec. 3.1):
-    # per valid ray, the median of an evenly subsampled swt profile,
-    # re-committed along the same segment via a payload-carrying chain.
-    vy = jnp.asarray([v[0] for v in _VECS], jnp.int32)
-    vx = jnp.asarray([v[1] for v in _VECS], jnp.int32)
-    # ONE compaction for both signs: jnp.nonzero costs ~76 ms at page
-    # scale on v5e (its internal scatter walks every pixel regardless of
-    # the output size), so the union anchor set compacts once and each
-    # sign re-derives its validity with a small gather. The default
-    # max_rays is sized for the UNION (both polarities share the
-    # budget); n_anchors reports the true demand for overflow checks.
-    anchor_union = any_anchor[-1] | any_anchor[1]
-    n_anchors = jnp.sum(anchor_union.astype(jnp.int32))
-    ay, ax = jnp.nonzero(anchor_union, size=max_rays, fill_value=-1)
-    pos_ok = ay >= 0
-    ays = jnp.maximum(ay, 0)
-    axs = jnp.maximum(ax, 0)
+    # ---- median clamp (pass 2, ref: swt.c / Epshtein sec. 3.1): per
+    # valid ray, the median of its stroke-width cells, re-committed
+    # along the same segment via a payload-carrying chain.
+    #
+    # FULLY DENSE, no compaction: the earlier gather formulation paid
+    # ~78 ms for a page-scale jnp.nonzero plus ~68 ms for a [17, R]
+    # random gather PER SIGN on v5e. Here sample j of an anchor's ray
+    # is swt[anchor + j*v_k] for FIXED offsets j = 0.._MED_SAMPLES-1 —
+    # a per-class dense shift selected per pixel by the anchor's class
+    # plane, valid while j <= u (inside the ray). For rays of u+1 <=
+    # _MED_SAMPLES cells this is the EXACT per-cell median the
+    # reference's qsort computes (vals[n/2], upper median — oracle.cc
+    # pf swt pass 2), closer than the old 17-point evenly-subsampled
+    # profile; longer rays use the prefix cells (golden-pinned). No
+    # capacity cap exists — nothing can truncate.
+    n_anchors = jnp.sum((any_anchor[-1] | any_anchor[1]).astype(jnp.int32))
     med_map = {}
     for s in (-1, 1):
-        valid_r = pos_ok & any_anchor[s][ays, axs]
-        r_units = a_units[s][ays, axs]
-        r_k = a_k[s][ays, axs].astype(jnp.int32)
-        r_vy = vy[r_k]
-        r_vx = vx[r_k]
-
-        swt_flat = jnp.concatenate([swt[s].reshape(-1), jnp.array([_INF])])
-        js = jnp.arange(_MED_SAMPLES, dtype=jnp.int32)
-        # evenly spread sample steps 0..units over _MED_SAMPLES slots
-        tj = (js[:, None] * r_units[None, :]) // (_MED_SAMPLES - 1)  # [M,R]
-        py = ays[None, :] + tj * r_vy[None, :]
-        px = axs[None, :] + tj * r_vx[None, :]
-        inb = (py >= 0) & (py < h) & (px >= 0) & (px < w) & valid_r[None, :]
-        idx = jnp.where(inb, py * w + px, h * w)
-        vals = swt_flat[idx]                                   # [M, R]
-        vals = jnp.sort(vals, axis=0)
-        med = vals[_MED_SAMPLES // 2, jnp.arange(max_rays)]
-        med = jnp.where(valid_r, med, _INF)
-
-        # medians back onto their (unique) anchor pixels
-        mm = jnp.full(h * w + 1, _INF, jnp.float32)
-        med_idx = jnp.where(valid_r, ays * w + axs, h * w)
-        mm = mm.at[med_idx].min(med, unique_indices=False)
-        med_map[s] = mm[: h * w].reshape(h, w)
+        u_pl = a_units[s]
+        k_pl = a_k[s].astype(jnp.int32)
+        samples = []
+        for j in range(_MED_SAMPLES):
+            if j == 0:
+                sj = swt[s]
+            else:
+                # one select_n over the 16 class-shifted planes (a
+                # 16-way where-chain re-reads the accumulator 16x)
+                sj = jax.lax.select_n(
+                    k_pl, *[_shift_static(swt[s], j * _VECS[k][0],
+                                          j * _VECS[k][1], _INF)
+                            for k in range(_NDIR)])
+            samples.append(jnp.where(j <= u_pl, sj, _INF))
+        vals = jnp.sort(jnp.stack(samples, 0), axis=0)  # [M, H, W]
+        cnt = jnp.minimum(u_pl + 1, _MED_SAMPLES)
+        mid = cnt // 2  # upper median, matching the oracle's vals[n/2]
+        med = jnp.full((h, w), _INF, jnp.float32)
+        for j in range(_MED_SAMPLES):
+            med = jnp.where(mid == j, vals[j], med)
+        med_map[s] = jnp.where(any_anchor[s], med, _INF)
 
     # clamp covers the anchor itself; ray cells get the median through a
     # second chain that pulls med_map from the upstream anchor (both
@@ -541,12 +538,17 @@ def _letter_mask_one(gray, swt_minus, swt_plus, med, max_letters, max_runs):
         lab, [ones, swt_v, swt_v * swt_v],
         [operator.add, operator.add, operator.add], reverse=True)
 
-    # ---- compact runs (the only page-scale irregular op)
+    # ---- compact runs (the only page-scale irregular op). Sort-based:
+    # flat indices of run starts ascend, n pads the tail — identical
+    # row-major order to jnp.nonzero at ~1/10 the cost (nonzero's
+    # internal scatter walks every pixel: 78 ms vs 8 ms at A4 on v5e)
     n_runs = jnp.sum(run_start.astype(jnp.int32))
-    ry, rx = jnp.nonzero(run_start, size=max_runs, fill_value=-1)
-    r_ok = ry >= 0
-    rys = jnp.maximum(ry, 0)
-    rxs = jnp.maximum(rx, 0)
+    flat_idx = jax.lax.sort(
+        jnp.where(run_start.reshape(-1), jax.lax.iota(jnp.int32, n),
+                  jnp.int32(n)), is_stable=False)[:max_runs]
+    r_ok = flat_idx < n
+    rys = jnp.minimum(flat_idx // w, h - 1)
+    rxs = jnp.where(r_ok, flat_idx - rys * w, 0)
     r_lab = jnp.where(r_ok, lab[rys, rxs], n)
     cnt_r = jnp.where(r_ok, r_cnt[rys, rxs], 0.0)
     s1_r = jnp.where(r_ok, r_s1[rys, rxs], 0.0)
@@ -730,8 +732,12 @@ def swt(
     if max_rays is None:
         max_rays = max_edges if max_edges is not None else max(h * w // 8, 1024)
     if max_runs is None:
+        # runs = stroke crossings: the dense A4 golden (1,500 letters)
+        # measures 72k vs h*w//32 = 272k — 3.8x headroom, and
+        # return_debug audits the cap. Every irregular op in the letter
+        # pass (scatters, gathers, sorts) scales with this bound.
         max_runs = (max_valid if max_valid is not None
-                    else max(h * w // 16, 1024))
+                    else max(h * w // 32, 1024))
     if max_letters is None:
         max_letters = max(h * w // 2048, 1024)
 

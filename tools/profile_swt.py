@@ -2,37 +2,28 @@
 CC labeling, letter stats. Run on the real chip."""
 
 import sys
-import time
 
 sys.path.insert(0, ".")
 
 import jax
-import jax.numpy as jnp
-import numpy as np
-
 import tempfile as _tf
+
 jax.config.update("jax_compilation_cache_dir", _tf.mkdtemp(prefix="jaxcache_"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+import jax.numpy as jnp
+import numpy as np
+
 from libpillowfight_tpu.core import constants as C
-from libpillowfight_tpu.core.bitmap import rgba_to_gray
+from libpillowfight_tpu.core.bitmap import put_row_major, rgba_to_gray
 from libpillowfight_tpu.ops import swt as S
 from libpillowfight_tpu.ops.canny import canny_edge_mask
-from libpillowfight_tpu.ops.morph import label_components_links
-
-
-def fetch(x):
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    return float(jnp.sum(leaf.astype(jnp.float32)))
+from libpillowfight_tpu.utils.metrics import device_time
 
 
 def timed(fn, *args, iters=3, label=""):
-    fetch(fn(*args))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    fetch(outs[-1])
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{label:46s} {dt*1e3:9.1f} ms/it", flush=True)
+    dt = device_time(fn, *args, iters=iters)
+    print(f"{label:46s} {dt*1e3:9.1f} ms", flush=True)
     return dt
 
 
@@ -45,44 +36,31 @@ def _text_page(h=3508, w=2480):
     return np.stack([g, g, g, np.full_like(g, 255)], -1)
 
 
-page = jnp.asarray(_text_page())
+page = put_row_major(_text_page()[None])
 h, w = 3508, 2480
-max_rays = max(h * w // 32, 256)
-max_valid = max(h * w // 8, 512)
+max_rays = max(h * w // 8, 1024)
+max_runs = max(h * w // 16, 1024)
+max_letters = max(h * w // 2048, 1024)
 max_len = C.SWT_MAX_RAY_LEN
-print("max_len:", max_len, "max_rays:", max_rays, "max_valid:", max_valid)
 
-gray = jax.jit(lambda p: rgba_to_gray(p[None])[0])(page)
+gray = jax.jit(lambda p: rgba_to_gray(p))(page)
 gray.block_until_ready()
 
-timed(jax.jit(lambda g: canny_edge_mask(g[None])[0]), gray, label="canny edge mask")
-edges = jax.jit(lambda g: canny_edge_mask(g[None])[0])(gray)
+timed(lambda g: canny_edge_mask(g), gray, label="canny edge mask")
+edges = jax.jit(lambda g: canny_edge_mask(g))(gray)
+edges.block_until_ready()
 
-timed(jax.jit(lambda g, e: S._swt_maps_one(g, e, max_rays, max_len)),
+timed(lambda g, e: S._swt_maps_one(g[0], e[0], max_rays, max_len),
       gray, edges, iters=2, label="swt maps (chains + median, both pol)")
-sm, sp = jax.jit(lambda g, e: S._swt_maps_one(g, e, max_rays, max_len))(gray, edges)
+sm, sp, _ = jax.jit(
+    lambda g, e: S._swt_maps_one(g[0], e[0], max_rays, max_len))(gray, edges)
+jax.block_until_ready((sm, sp))
 
-timed(jax.jit(lambda g, s: S._letter_mask_one(g, s, -1, 512, max_valid)),
-      gray, sm, iters=2, label="letter mask (CC + stats), one pol")
+timed(lambda g, a, b2: S._letter_mask(g, a[None], b2[None], max_letters,
+                                      max_runs),
+      gray, sm, sp, iters=2, label="letter pass (CC + stats, both pol)")
 
-# CC labeling alone
-valid = sm < S._INF
-def links_of(swt):
-    valid = swt < S._INF
-    def link(dy, dx):
-        rolled = jnp.roll(jnp.roll(swt, -dy, 0), -dx, 1)
-        nvalid = jnp.roll(jnp.roll(valid, -dy, 0), -dx, 1)
-        ratio_ok = ((jnp.maximum(swt, rolled)
-                     / jnp.maximum(jnp.minimum(swt, rolled), 1e-6))
-                    <= C.SWT_CC_SW_RATIO)
-        ok = valid & nvalid & ratio_ok
-        ys = jax.lax.broadcasted_iota(jnp.int32, swt.shape, 0)
-        xs = jax.lax.broadcasted_iota(jnp.int32, swt.shape, 1)
-        return ok & (ys + dy < swt.shape[0]) & (ys + dy >= 0) \
-            & (xs + dx < swt.shape[1]) & (xs + dx >= 0)
-    return {d: link(*d)[None] for d in ((0, 1), (1, 0), (1, 1), (1, -1))}
-
-timed(jax.jit(lambda s: label_components_links((s < S._INF)[None], links_of(s))[0]),
-      sm, iters=2, label="label_components_links")
-
-timed(jax.jit(lambda p: S.swt(p)), page, iters=2, label="swt total (mode 0)")
+timed(lambda p: S.swt(p), page, iters=2, label="swt total (mode 0)")
+mp = h * w / 1e6
+dt = device_time(lambda p: S.swt(p), page, iters=2)
+print(f"{'=> MP/s device':46s} {mp/dt:9.1f}")
