@@ -124,15 +124,21 @@ def put_row_major(host_array, device=None) -> jax.Array:
     transfer time is free. Falls back to a plain device_put where the
     layout API is unavailable (CPU backends don't care)."""
     dev = device if device is not None else jax.devices()[0]
+    arr = np.asarray(host_array)
+    # pin only when the minor dim can fill the 128-lane axis: forcing
+    # row-major on [..., 4] RGBA u8 would put the channel dim on lanes
+    # (32x tile-padding blowup — observed 8.3 GB of argument buffers
+    # for one 278 MB batch)
+    if arr.ndim < 2 or arr.shape[-1] < 128:
+        return jax.device_put(arr, dev)
     try:
         from jax.experimental.layout import Format, Layout
         from jax.sharding import SingleDeviceSharding
 
-        ndim = np.asarray(host_array).ndim
-        fmt = Format(Layout(tuple(range(ndim))), SingleDeviceSharding(dev))
-        return jax.device_put(host_array, fmt)
+        fmt = Format(Layout(tuple(range(arr.ndim))), SingleDeviceSharding(dev))
+        return jax.device_put(arr, fmt)
     except Exception:
-        return jax.device_put(host_array, dev)
+        return jax.device_put(arr, dev)
 
 
 def words_to_s3(words: jax.Array) -> jax.Array:

@@ -274,6 +274,118 @@ class PnmPageSource:
         self.close()
 
 
+def decode_image(path: str) -> np.ndarray:
+    """Decode any scan format to uint8 RGBA [H, W, 4]: PNM via the
+    native codec, everything else (JPEG/PNG/TIFF — upstream's test
+    corpus is JPEG loaded via PIL, SURVEY.md §4) via Pillow."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".pnm", ".ppm", ".pgm", ".pbm"):
+        return decode_pnm(path)
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGBA"))
+
+
+class ImagePageSource:
+    """Threaded, double-buffered page loader for `BatchRunner` over ANY
+    PIL-decodable corpus (JPEG/PNG/...; PNM routes through the native
+    codec). Same interface and LIFETIME CONTRACT as PnmPageSource: the
+    returned array is a view into a double buffer that the next call's
+    prefetch overwrites — transfer or copy it before requesting the
+    next chunk (BatchRunner does, by construction).
+
+    Decoding runs in a thread pool (PIL's JPEG decoder releases the
+    GIL) and the NEXT sequential chunk is prefetched while the caller
+    processes the current one, so a 10k-page production run on real
+    scans keeps the host-decode/compute overlap the PNM path has."""
+
+    def __init__(self, paths, shape: tuple[int, int],
+                 n_threads: int | None = None, prefetch: bool = True):
+        import concurrent.futures as cf
+
+        self.paths = [os.fspath(p) for p in paths]
+        self.shape = (int(shape[0]), int(shape[1]))
+        self.prefetch = prefetch
+        self._pool = cf.ThreadPoolExecutor(
+            max_workers=n_threads or min(16, os.cpu_count() or 4))
+        self._bufs = [None, None]
+        self._pending = None  # (start, n, slot, [futures])
+        self.failed = 0
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _buf(self, slot: int, n: int) -> np.ndarray:
+        h, w = self.shape
+        if self._bufs[slot] is None or self._bufs[slot].shape[0] < n:
+            self._bufs[slot] = np.empty((n, h, w, 4), np.uint8)
+        return self._bufs[slot]
+
+    def _decode_into(self, buf: np.ndarray, i: int, j: int) -> int:
+        h, w = self.shape
+        buf[i] = 255
+        if not 0 <= j < len(self.paths):
+            return 0
+        try:
+            page = decode_image(self.paths[j])
+        except Exception:
+            return 1
+        ch, cw = min(h, page.shape[0]), min(w, page.shape[1])
+        buf[i, :ch, :cw] = page[:ch, :cw]
+        return 0
+
+    def _submit(self, start: int, n: int, slot: int) -> None:
+        buf = self._buf(slot, n)
+        futs = [self._pool.submit(self._decode_into, buf, i, start + i)
+                for i in range(n)]
+        self._pending = (start, n, slot, futs)
+
+    def _wait_pending(self) -> None:
+        if self._pending:
+            self.failed += sum(f.result() for f in self._pending[3])
+            self._pending = None
+
+    def __call__(self, indices) -> np.ndarray:
+        idx = np.asarray(indices, np.int64)
+        start, n = int(idx[0]), len(idx)
+        contiguous = bool(np.all(idx == np.arange(start, start + n)))
+        if self._pending and self._pending[0] == start and \
+                self._pending[1] >= n and contiguous:
+            _, _, slot, futs = self._pending
+            self.failed += sum(f.result() for f in futs)
+            self._pending = None
+        else:
+            self._wait_pending()
+            slot = 0
+            if not contiguous:  # random access: decode synchronously
+                buf = self._buf(0, n)
+                for i, j in enumerate(idx):
+                    self.failed += self._decode_into(buf, i, int(j))
+                return buf[:n]
+            self._submit(start, n, slot)
+            self._wait_pending2(slot)
+        out = self._bufs[slot][:n]
+        nxt = start + n
+        if self.prefetch and nxt < len(self.paths):
+            self._submit(nxt, min(n, len(self.paths) - nxt), 1 - slot)
+        return out
+
+    def _wait_pending2(self, slot: int) -> None:
+        if self._pending and self._pending[2] == slot:
+            self._wait_pending()
+
+    def close(self) -> None:
+        self._wait_pending()
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class PpmSink:
     """`BatchRunner` sink writing each processed page as out_dir/page_%06d.ppm."""
 
@@ -289,6 +401,6 @@ class PpmSink:
 
 
 __all__ = [
-    "PnmPageSource", "PpmSink", "available", "decode_pnm", "write_pgm",
-    "write_ppm",
+    "ImagePageSource", "PnmPageSource", "PpmSink", "available",
+    "decode_image", "decode_pnm", "write_pgm", "write_ppm",
 ]

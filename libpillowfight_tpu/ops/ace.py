@@ -142,10 +142,17 @@ def ace_with_pixel_samples(pages: jax.Array, idx: jax.Array, slope: float,
 
 
 def _ace_rolled(pages: jax.Array, key: jax.Array, nb_samples: int,
-                slope: float, limit: float) -> jax.Array:
+                slope: float, limit: float, chunk: int = 10) -> jax.Array:
     """Per-pixel-faithful sampling via shared random offsets (see module
     docstring): X_{p,s} = (p + D_s) mod (H, W), evaluated as one dense
-    roll + elementwise pass per sample under lax.scan."""
+    roll + elementwise pass per sample.
+
+    Samples run `chunk` at a time inside each lax.scan step (sequential
+    adds in the SAME order as one-per-step, bit-identical): the scan's
+    (num, den) carries are 2x12 B/px that XLA reads+writes every step,
+    so per-sample stepping moved ~96 B/px/sample of pure carry traffic
+    — 4x the useful sample reads. Chunking divides it by `chunk`
+    (measured 577 -> ~150 ms at 600dpi/100 samples on v5e)."""
     b, h, w, _ = pages.shape
     rgb = pages[..., :3].astype(jnp.float32)
     ky, kx = jax.random.split(key)
@@ -155,9 +162,8 @@ def _ace_rolled(pages: jax.Array, key: jax.Array, nb_samples: int,
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
-    def body(carry, inp):
+    def contrib(carry, dy, dx):
         num, den = carry
-        dy, dx = inp  # [B] each
         rolled = jax.vmap(
             lambda img, a, c: jnp.roll(img, (-a, -c), (0, 1)))(rgb, dy, dx)
         # signed displacement to the actual (wrapped) sample position
@@ -170,10 +176,28 @@ def _ace_rolled(pages: jax.Array, key: jax.Array, nb_samples: int,
         delta = rgb - rolled
         num = num + jnp.clip(slope * delta, -limit, limit) / d
         den = den + limit / d
-        return (num, den), None
+        return num, den
+
+    k_eff = max(1, min(chunk, nb_samples))
+    n_full = nb_samples // k_eff
+
+    def body(carry, inp):
+        dyk, dxk = inp  # [k_eff, B] each
+        for i in range(k_eff):
+            carry = contrib(carry, dyk[i], dxk[i])
+        return carry, None
 
     zeros = jnp.zeros((b, h, w, 3), jnp.float32)
-    (num, den), _ = jax.lax.scan(body, (zeros, zeros), (dys, dxs))
+    carry = (zeros, zeros)
+    if n_full:
+        m = n_full * k_eff
+        carry, _ = jax.lax.scan(
+            body, carry,
+            (dys[:m].reshape(n_full, k_eff, b),
+             dxs[:m].reshape(n_full, k_eff, b)))
+    for j in range(n_full * k_eff, nb_samples):  # remainder, unrolled
+        carry = contrib(carry, dys[j], dxs[j])
+    num, den = carry
     return jnp.concatenate([_rescale(num / den), pages[..., 3:]], axis=-1)
 
 

@@ -126,3 +126,60 @@ def test_native_matches_python_fallback(rng, tmp_path):
         native = src(np.arange(4)).copy()
         ref = src._load_py(np.arange(4))
     np.testing.assert_array_equal(native, ref)
+
+
+def test_image_source_jpeg_corpus_through_batch_runner(rng, tmp_path):
+    """A PIL-generated JPEG corpus (upstream's test corpus is JPEG via
+    PIL — SURVEY.md §4) streams through ImagePageSource into BatchRunner
+    with prefetch overlap; every page lands cleaned (r4 VERDICT missing
+    #2: the fast ingest path only spoke PNM)."""
+    from PIL import Image
+
+    from libpillowfight_tpu.parallel import BatchRunner
+
+    h, w = 64, 96
+    paths = []
+    for i in range(6):
+        g = np.full((h - 4, w - 6), 245, np.uint8)  # smaller: pads white
+        g[:, :6] = 0                                 # black border
+        g[20:23, 20:70] = 15                         # text line
+        p = str(tmp_path / f"scan{i}.jpg")
+        Image.fromarray(g).convert("RGB").save(p, quality=92)
+        paths.append(p)
+
+    seen = {}
+    with pfio.ImagePageSource(paths, shape=(h, w)) as src:
+        runner = BatchRunner([("unpaper_border", ())], chunk_size=2)
+        m = runner.run(len(paths), src,
+                       lambda idx, out: seen.update(
+                           {int(j): out[i].copy() for i, j in enumerate(idx)}))
+    assert m.pages == 6 and src.failed == 0
+    assert sorted(seen) == list(range(6))
+    for page in seen.values():
+        assert page.shape == (h, w, 4)
+        # white padding intact, page mostly light after cleanup
+        assert (page[:, w - 4 :, :3] == 255).all()
+
+
+def test_image_source_prefetch_and_random_access(rng, tmp_path):
+    from PIL import Image
+
+    paths = []
+    for i in range(5):
+        g = (rng.random((10, 12)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"r{i}.png")
+        Image.fromarray(g).convert("RGB").save(p)
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.png"))
+
+    with pfio.ImagePageSource(paths, shape=(10, 12)) as src:
+        a = src(np.arange(0, 2)).copy()      # triggers prefetch of 2..3
+        b = src(np.arange(2, 4)).copy()      # consumes the prefetch
+        c = src(np.array([5, 1, 0]))         # random access + missing file
+        assert a.shape == b.shape == (2, 10, 12, 4)
+        # missing.png fails twice: once in the drained [4,5] prefetch,
+        # once in the random-access decode
+        assert (c[0] == 255).all() and src.failed == 2
+        # decoded content matches PIL directly
+        with Image.open(paths[2]) as im:
+            np.testing.assert_array_equal(b[0], np.asarray(im.convert("RGBA")))
