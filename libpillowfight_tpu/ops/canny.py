@@ -65,8 +65,19 @@ def _nms(intensity: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
     return jnp.where(keep, intensity, 0.0)
 
 
-def canny_edge_mask(gray: jax.Array) -> jax.Array:
-    """f32 gray [B,H,W] -> bool edge mask [B,H,W]. Shared with SWT.
+def canny_gradients(gray: jax.Array):
+    """(gx, gy) of the gaussian-smoothed page — the gradient stack canny
+    AND swt share (swt re-deriving it separately cost a duplicate
+    gaussian+sobel pass, ~3.4 ms at A4: vmap'd and direct tracings
+    don't CSE)."""
+    smoothed = gaussian_on_matrix(
+        gray, C.CANNY_GAUSSIAN_SIGMA, C.CANNY_GAUSSIAN_NB_STDDEV
+    )
+    return sobel_gradients(smoothed)
+
+
+def canny_edge_mask_from_gradients(gx: jax.Array, gy: jax.Array) -> jax.Array:
+    """bool edge mask from precomputed smoothed gradients.
 
     NMS compares the intensity NORMALIZED to [0,255] and rounded to the
     integer grid (ref: the C library runs canny on normalized u8-scale
@@ -75,10 +86,6 @@ def canny_edge_mask(gray: jax.Array) -> jax.Array:
     same way on both sides — without this the smooth gaussian gradient
     produces f32 false ties and systematically double-width TPU ridges.
     """
-    smoothed = gaussian_on_matrix(
-        gray, C.CANNY_GAUSSIAN_SIGMA, C.CANNY_GAUSSIAN_NB_STDDEV
-    )
-    gx, gy = sobel_gradients(smoothed)
     inten_q = jnp.round(normalize(jnp.hypot(gx, gy)))
     nms = _nms(inten_q, gx, gy)
     peak = jnp.max(nms, axis=(-2, -1), keepdims=True)
@@ -86,6 +93,12 @@ def canny_edge_mask(gray: jax.Array) -> jax.Array:
     strong = (nms >= peak * C.CANNY_HIGH_THRESHOLD_FRACTION) & (nms > 0.0)
     weak = (nms >= peak * C.CANNY_LOW_THRESHOLD_FRACTION) & (nms > 0.0)
     return flood_reach(strong, weak, connectivity=8)
+
+
+def canny_edge_mask(gray: jax.Array) -> jax.Array:
+    """f32 gray [B,H,W] -> bool edge mask [B,H,W]. Shared with SWT."""
+    gx, gy = canny_gradients(gray)
+    return canny_edge_mask_from_gradients(gx, gy)
 
 
 @jax.jit

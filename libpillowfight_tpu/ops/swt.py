@@ -62,10 +62,8 @@ from ..core.bitmap import (
     words_to_gray,
     words_to_pages,
 )
-from .canny import canny_edge_mask
-from .gaussian import gaussian_on_matrix
+from .canny import canny_edge_mask_from_gradients, canny_gradients
 from .morph import label_components_links
-from .sobel import sobel_on_matrix
 
 # plain float, not jnp.float32: a module-level jnp scalar would
 # initialize the XLA backend at import time, which breaks
@@ -276,21 +274,18 @@ def _class_commit(k: int, s: int, down, up, edge_cls, is_edge, t_units,
     return contrib, is_anchor, u_dn
 
 
-def _swt_maps_one(gray, edges, max_rays, max_len):
+def _swt_maps_one(gray, edges, gx, gy, max_len):
     """Both polarities' stroke-width maps for one page.
+
+    gx/gy are the gaussian-smoothed sobel gradients SHARED with the
+    canny edge stack (canny.canny_gradients — recomputing them here
+    cost a duplicate gaussian+sobel pass).
 
     Returns (swt_minus, swt_plus) f32 [H,W] (_INF = no stroke):
     sign=-1 marches against the gradient (into dark strokes,
     dark-on-light text), sign=+1 along it (light-on-dark).
     """
     h, w = gray.shape
-    smoothed = gaussian_on_matrix(
-        gray[None], C.CANNY_GAUSSIAN_SIGMA, C.CANNY_GAUSSIAN_NB_STDDEV
-    )[0]
-    grad = sobel_on_matrix(smoothed[None])
-    inten = grad.intensity[0]
-    gx = jnp.cos(grad.direction[0]) * inten
-    gy = jnp.sin(grad.direction[0]) * inten
     norm = jnp.maximum(jnp.sqrt(gx * gx + gy * gy), 1e-6)
     ux, uy = gx / norm, gy / norm
 
@@ -699,11 +694,10 @@ def swt(
     """Stroke Width Transform. uint8 RGBA [B,H,W,4] or uint32 words
     [B,H,W] (or single page) in; same form out.
 
-    max_rays bounds the compacted valid-ray list for the median clamp
-    (default H*W//8 — ONE budget shared by both polarities' anchor
-    union; anchors are canny edge pixels, 1-px lines, so 12.5% covers
-    any real page and return_debug audits the rest); max_len bounds ray
-    length in pixels (<= 1023: the encoded
+    max_rays is DEPRECATED and ignored: the median clamp is dense
+    (per-class static shifts selected by the anchor-class plane), so
+    there is no compacted ray list and nothing to truncate. max_len
+    bounds ray length in pixels (<= 1023: the encoded
     chain packs the v-step count into 11 bits); max_runs bounds the
     compacted row-run list for component statistics (default H*W//16 —
     a run is a maximal same-component span in one row, so the bound is
@@ -741,11 +735,13 @@ def swt(
     if max_letters is None:
         max_letters = max(h * w // 2048, 1024)
 
-    edges = canny_edge_mask(gray)
+    ggx, ggy = canny_gradients(gray)
+    edges = canny_edge_mask_from_gradients(ggx, ggy)
     # the maps are per-page shift chains (vmap costs nothing there —
     # measured); the letter pass is natively batched (vmap cost 5x)
     swt_minus, swt_plus, n_anchors = jax.vmap(
-        lambda g, e: _swt_maps_one(g, e, max_rays, max_len))(gray, edges)
+        lambda g, e, x, y: _swt_maps_one(g, e, x, y, max_len))(
+            gray, edges, ggx, ggy)
     letter, boxes, boxes_ok, n_runs, n_letters = _letter_mask(
         gray, swt_minus, swt_plus, max_letters, max_runs)
 
@@ -768,7 +764,8 @@ def swt(
     out = maybe_unbatch(out, unb)
     if return_debug:
         return out, {
-            "n_anchors": n_anchors, "max_rays": max_rays,
+            # n_anchors is informational: the dense median has no cap
+            "n_anchors": n_anchors,
             "n_runs": n_runs, "max_runs": max_runs,
             "n_letters": n_letters, "max_letters": max_letters,
         }

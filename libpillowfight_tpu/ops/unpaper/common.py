@@ -130,16 +130,21 @@ def block_counts(x: jax.Array, size: int, step: int) -> jax.Array:
 
 
 def line_counts(dark: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(row_counts [B,H], col_counts [B,W]) f32 dark-pixel counts, as two
-    MXU contractions with a ones MATRIX (0/1 exact in bf16, f32
-    accumulate; column 0 of the result is the count).
+    """(row_counts [B,H], col_counts [B,W]) f32 dark-pixel counts.
 
-    Why not jnp.sum / a ones-vector matvec: XLA canonicalizes both into
-    a lane-axis reduce whose layout preference propagates all the way to
-    the jit entry, relayout-copying the WHOLE upstream u32 page plane
-    twice (measured ~1.7 ms extra at A4x8 on v5e). A genuine [N,128]
-    matmul keeps layout assignment neutral and costs ~0.1 ms on the
-    MXU."""
+    On TPU: one Pallas kernel reads the plane once and accumulates both
+    reductions in VMEM (~1 B/px total). Every XLA formulation tried
+    pays extra: `jnp.sum` over lanes propagates an H-minor layout
+    preference to the jit entry (full-plane relayout copies, ~1.7 ms at
+    A4x8), and a ones-matrix MXU contraction gets rewritten into a
+    batch-bitpack + custom-call (~0.4 ms/plane). Elsewhere: the
+    ones-matrix contraction (layout-neutral)."""
+    from ...parallel.mesh import pallas_backend_ok
+
+    if pallas_backend_ok():
+        from ..pallas.linecount_kernel import line_counts_pallas
+
+        return line_counts_pallas(dark)
     b, h, w = dark.shape
     xb = dark.astype(jnp.bfloat16)
     ones_w = jnp.ones((w, 128), jnp.bfloat16)
@@ -232,9 +237,12 @@ def _expand_lanes_mm(g: jax.Array, n_pix: int, size: int, step: int
         is_hi = r <= (size - 1 - (t_hi - 1) * step)
         if t_lo == t_hi or is_hi:
             e_hi[x // step, x] = 1.0
+    # bf16 output: each pixel is covered by exactly one expansion-matrix
+    # column, so values are exactly 0/1 — and an f32 result would
+    # materialize a full-resolution 4 B/px plane before the compare
     out = jax.lax.dot_general(
         hi, jnp.asarray(e_hi, jnp.bfloat16), (((ax,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.bfloat16)
     if t_lo != t_hi:
         lo = _trailing_or(g, t_lo, ax).astype(jnp.bfloat16)
         e_lo = np.zeros((q_n, n_pix), np.float32)
@@ -244,7 +252,7 @@ def _expand_lanes_mm(g: jax.Array, n_pix: int, size: int, step: int
                 e_lo[x // step, x] = 1.0
         out = out + jax.lax.dot_general(
             lo, jnp.asarray(e_lo, jnp.bfloat16), (((ax,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.bfloat16)
     return out > 0.5
 
 

@@ -91,7 +91,7 @@ def test_swt_debug_counts_within_caps():
     page = _rgba(_text_page())
     out, dbg = swt(jnp.asarray(page), return_debug=True)
     assert out.shape == page.shape
-    assert int(dbg["n_anchors"].max()) <= dbg["max_rays"]
+    assert int(dbg["n_anchors"].max()) > 0  # dense median: no cap to audit
     assert int(dbg["n_runs"].max()) <= dbg["max_runs"]
     assert int(dbg["n_letters"].max()) <= dbg["max_letters"]
     assert int(dbg["n_letters"].max()) >= 4  # the 4 strokes were seen

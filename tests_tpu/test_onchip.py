@@ -320,7 +320,7 @@ def test_swt_a4_boxes_golden_no_dropped_letters():
     got = np.asarray(got)
     assert int(dbg["n_letters"].max()) > 1024, "page not dense enough to test the cap"
     assert int(dbg["n_letters"].max()) <= dbg["max_letters"]
-    assert int(dbg["n_anchors"].max()) <= dbg["max_rays"]
+    assert int(dbg["n_anchors"].max()) > 0  # dense median: no cap to audit
     assert int(dbg["n_runs"].max()) <= dbg["max_runs"]
     wr = (want[..., 0] == 255) & (want[..., 1] == 0) & (want[..., 2] == 0)
     gr = (got[..., 0] == 255) & (got[..., 1] == 0) & (got[..., 2] == 0)

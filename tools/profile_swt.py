@@ -50,10 +50,15 @@ timed(lambda g: canny_edge_mask(g), gray, label="canny edge mask")
 edges = jax.jit(lambda g: canny_edge_mask(g))(gray)
 edges.block_until_ready()
 
-timed(lambda g, e: S._swt_maps_one(g[0], e[0], max_rays, max_len),
-      gray, edges, iters=2, label="swt maps (chains + median, both pol)")
+from libpillowfight_tpu.ops.canny import canny_gradients
+ggx, ggy = jax.jit(canny_gradients)(gray)
+jax.block_until_ready((ggx, ggy))
+timed(lambda g, e, x, y: S._swt_maps_one(g[0], e[0], x[0], y[0], max_len),
+      gray, edges, ggx, ggy, iters=2,
+      label="swt maps (chains + median, both pol)")
 sm, sp, _ = jax.jit(
-    lambda g, e: S._swt_maps_one(g[0], e[0], max_rays, max_len))(gray, edges)
+    lambda g, e, x, y: S._swt_maps_one(g[0], e[0], x[0], y[0], max_len))(
+        gray, edges, ggx, ggy)
 jax.block_until_ready((sm, sp))
 
 timed(lambda g, a, b2: S._letter_mask(g, a[None], b2[None], max_letters,
