@@ -177,3 +177,16 @@ def test_flood_reach_leap_diagonal_and_rows():
                           connectivity=8, leap=20)[0])
     assert got[32:40, 10:50].all()
     assert got[55:60, 60:70].all()
+
+
+def test_line_counts_pallas_interpret(rng):
+    """Single-read row+col count kernel vs numpy (interpret mode; the
+    on-chip lane runs it compiled via the masks/border parity tests)."""
+    from libpillowfight_tpu.ops.pallas.linecount_kernel import line_counts_pallas
+
+    mask = jnp.asarray(rng.random((2, 203, 317)) < 0.3)
+    rows, cols = line_counts_pallas(mask, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(rows), np.asarray(mask).sum(2).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(cols), np.asarray(mask).sum(1).astype(np.float32))
