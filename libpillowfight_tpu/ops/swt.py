@@ -552,52 +552,70 @@ def _letter_mask_one(gray, swt_minus, swt_plus, med, max_letters, max_runs):
     x0f = rxs.astype(jnp.float32)
     x1f = x0f + cnt_r - 1.0  # run is contiguous: xmax = xstart + len - 1
 
-    # ---- per-component tables (flat-label indexed), run-count scatters.
-    # NARROW scatters, one value per update: an XLA TPU scatter of
-    # multi-element rows costs per-ROW what a narrow scatter costs per
-    # ELEMENT (each wide row touches a full lane tile) — measured 2x
-    # slower combined than seven narrow scatters
+    # ---- per-component statistics in SORTED-SEGMENT form. The earlier
+    # formulation scattered 7 per-run values into flat-label-indexed
+    # [H*W+1] tables and gathered decisions back — 8 R-sized scatters +
+    # gathers at ~2.7 ms each on v5e. Here ONE stable multi-payload sort
+    # groups runs by label; per-component reductions become segmented
+    # doubling scans over the sorted 1-D array (cheap [R] vector ops),
+    # decisions broadcast back through the segment, and the only
+    # remaining page-scale irregulars are the keep-paint scatter and a
+    # tiny rejected-rep table.
     nb = n + 1
-    cnt = jnp.zeros(nb, jnp.float32).at[r_lab].add(cnt_r, mode="drop")
-    s1 = jnp.zeros(nb, jnp.float32).at[r_lab].add(s1_r, mode="drop")
-    s2 = jnp.zeros(nb, jnp.float32).at[r_lab].add(s2_r, mode="drop")
-    ymin = jnp.full(nb, 1e9, jnp.float32).at[r_lab].min(yf, mode="drop")
-    xmin = jnp.full(nb, 1e9, jnp.float32).at[r_lab].min(x0f, mode="drop")
-    ymax = jnp.full(nb, -1e9, jnp.float32).at[r_lab].max(yf, mode="drop")
-    xmax = jnp.full(nb, -1e9, jnp.float32).at[r_lab].max(x1f, mode="drop")
+    r_lab_s, cnt_s, s1_s, s2_s, yf_s, x0f_s, x1f_s, flat_s = jax.lax.sort(
+        (r_lab, cnt_r, s1_r, s2_r, yf, x0f, x1f, flat_idx),
+        dimension=0, num_keys=1, is_stable=True)
+    # stable + input ascending by flat index => each label segment's
+    # FIRST element is the component's min-flat-index run (the rep,
+    # whose flat index IS the label)
+    lab2 = r_lab_s[None]
+    (cnt_t, s1_t, s2_t) = _seg_chain(
+        lab2, [cnt_s[None], s1_s[None], s2_s[None]],
+        [operator.add, operator.add, operator.add], reverse=True)
+    (ymin_t, xmin_t) = _seg_chain(
+        lab2, [yf_s[None], x0f_s[None]], [jnp.minimum, jnp.minimum],
+        reverse=True)
+    (ymax_t, xmax_t) = _seg_chain(
+        lab2, [yf_s[None], x1f_s[None]], [jnp.maximum, jnp.maximum],
+        reverse=True)
+    cnt_t, s1_t, s2_t, ymin_t, xmin_t, ymax_t, xmax_t = (
+        a[0] for a in (cnt_t, s1_t, s2_t, ymin_t, xmin_t, ymax_t, xmax_t))
 
-    nn = jnp.maximum(cnt, 1.0)
-    mean_sw = s1 / nn
-    var_sw = jnp.maximum(s2 / nn - mean_sw * mean_sw, 0.0)
-    bw = xmax - xmin + 1.0
-    bh = ymax - ymin + 1.0
+    start = r_lab_s != jnp.concatenate(
+        [jnp.full((1,), -1, r_lab_s.dtype), r_lab_s[:-1]])
+    r_ok_s = r_lab_s < n
+
+    nn = jnp.maximum(cnt_t, 1.0)
+    mean_sw = s1_t / nn
+    var_sw = jnp.maximum(s2_t / nn - mean_sw * mean_sw, 0.0)
+    bw = xmax_t - xmin_t + 1.0
+    bh = ymax_t - ymin_t + 1.0
     diag = jnp.sqrt(bw * bw + bh * bh)
     aspect = jnp.maximum(bw, bh) / jnp.maximum(jnp.minimum(bw, bh), 1.0)
-
-    ok_tab = (
-        (cnt >= C.SWT_LETTER_MIN_PIXELS)
+    ok_seg = (
+        (cnt_t >= C.SWT_LETTER_MIN_PIXELS)
         & (var_sw <= C.SWT_LETTER_VARIANCE_RATIO * mean_sw * mean_sw)
         & (aspect <= C.SWT_LETTER_ASPECT_RATIO_MAX)
         & (diag < C.SWT_LETTER_DIAMETER_SW_RATIO * jnp.maximum(mean_sw, 1e-6))
         & (bh >= C.SWT_LETTER_HEIGHT_MIN)
         & (bh <= C.SWT_LETTER_HEIGHT_MAX)
+        & start & r_ok_s
     )
-    ok_tab = ok_tab.at[n].set(False)  # background
+    n_letters = jnp.sum(ok_seg.astype(jnp.int32))
 
     # ---- nested-box filter: a component containing > SWT_MAX_NESTED_LETTERS
-    # other accepted boxes is a frame, not a letter (ref: swt.c). The
-    # component representative run starts AT the min-flat-index pixel
-    # (its left neighbor, if any, would have a smaller index), so reps
-    # are exactly the runs with r_lab == flat(run start).
-    is_rep = r_ok & (r_lab == rys * w + rxs) & ok_tab[r_lab]
-    n_letters = jnp.sum(is_rep.astype(jnp.int32))
-    rep = jnp.where(is_rep, r_lab, n)
-    rep_idx = jnp.sort(rep)[:max_letters]
+    # other accepted boxes is a frame, not a letter (ref: swt.c).
+    # Compact the accepted reps' boxes with one small sort.
+    rep_key = jnp.where(ok_seg, r_lab_s, n)
+    rep_idx, b_y0, b_y1, b_x0, b_x1 = jax.lax.sort(
+        (rep_key, ymin_t, ymax_t, xmin_t, xmax_t),
+        dimension=0, num_keys=1, is_stable=False)
+    rep_idx = rep_idx[:max_letters]
+    ry0 = b_y0[:max_letters].astype(jnp.int32)
+    ry1 = b_y1[:max_letters].astype(jnp.int32)
+    rx0 = b_x0[:max_letters].astype(jnp.int32)
+    rx1 = b_x1[:max_letters].astype(jnp.int32)
     l_ok = rep_idx < n
-    ry0 = ymin[rep_idx].astype(jnp.int32)
-    ry1 = ymax[rep_idx].astype(jnp.int32)
-    rx0 = xmin[rep_idx].astype(jnp.int32)
-    rx1 = xmax[rep_idx].astype(jnp.int32)
     # nesting is counted within a polarity pass (the oracle runs the
     # nested filter per swt_polarity call): a rep's polarity is its
     # representative pixel's (the label IS its min flat pixel index)
@@ -615,12 +633,16 @@ def _letter_mask_one(gray, swt_minus, swt_plus, med, max_letters, max_runs):
         jnp.where(rejected, rep_idx, n)].set(True)
     rej_tab = rej_tab.at[n].set(False)
 
-    # ---- paint acceptance back: run-level keep flag -> run-start plane
-    # (run-count scatter) -> rightward segmented OR along rows (dense)
-    keep_r = r_ok & ok_tab[r_lab] & ~rej_tab[r_lab]
+    # ---- paint acceptance back: broadcast the segment-start decision
+    # forward through the segment, drop rejected components, scatter the
+    # kept runs' start pixels (sorted order carries flat_s, so no
+    # unsort), then a rightward segmented OR along rows (dense)
+    (ok_bcast,) = _seg_chain(
+        lab2, [ok_seg[None].astype(jnp.float32)], [jnp.maximum])
+    keep_s = r_ok_s & (ok_bcast[0] > 0.5) & ~rej_tab[r_lab_s]
     keep_plane = jnp.zeros(nb, jnp.float32).at[
-        jnp.where(keep_r, rys * w + rxs, n)
-    ].max(jnp.where(keep_r, 1.0, 0.0), mode="drop")[:n].reshape(h, w)
+        jnp.where(keep_s, flat_s, n)
+    ].max(jnp.where(keep_s, 1.0, 0.0), mode="drop")[:n].reshape(h, w)
     (keep_f,) = _seg_chain(lab, [keep_plane], [jnp.maximum])
     mask = valid & (keep_f > 0.5)
 
