@@ -330,3 +330,61 @@ def test_swt_a4_boxes_golden_no_dropped_letters():
     stray_want = (wr & ~ndimage.binary_dilation(gr, dil)).sum()
     assert stray_got <= 0.02 * gr.sum(), (stray_got, gr.sum())
     assert stray_want <= 0.02 * wr.sum(), (stray_want, wr.sum())
+
+
+def test_batch_runner_jpeg_corpus_end_to_end(tmp_path):
+    """The full production path on the real chip: JPEG corpus -> threaded
+    PIL prefetch (ImagePageSource) -> BatchRunner (pipelined H2D/compute/
+    D2H, resumable manifest) -> cleanup chain -> PPM sink. 24 pages in
+    chunks of 8 with a resume after 'crash' at the halfway point."""
+    from PIL import Image
+
+    from libpillowfight_tpu.io import ImagePageSource, PpmSink, decode_pnm
+    from libpillowfight_tpu.parallel import BatchRunner
+
+    h, w = 512, 640
+    paths = []
+    for i in range(24):
+        g = np.full((h, w), 245, np.uint8)
+        g[:, : w // 20] = 0                      # black border
+        for y in range(60, h - 60, 40):
+            g[y : y + 3, 80 : w - 40] = 15       # text lines
+        p = str(tmp_path / f"scan{i:03d}.jpg")
+        Image.fromarray(g).convert("RGB").save(p, quality=90)
+        paths.append(p)
+
+    manifest = str(tmp_path / "m.jsonl")
+    out_dir = str(tmp_path / "out")
+
+    # first run: only the first half of the chunks (simulated interrupt)
+    with ImagePageSource(paths, shape=(h, w)) as src:
+        r1 = BatchRunner([("unpaper_blackfilter", ()), ("unpaper_border", ())],
+                         chunk_size=8, manifest_path=manifest)
+        half_seen = []
+        sink = PpmSink(out_dir)
+
+        def half_sink(idx, pages):
+            if len(half_seen) >= 2:
+                raise KeyboardInterrupt  # crash after 2 chunks delivered
+            half_seen.append(idx)
+            sink(idx, pages)
+
+        try:
+            r1.run(len(paths), src, half_sink)
+        except KeyboardInterrupt:
+            pass
+
+    # resume: a fresh runner skips the manifest-recorded chunks
+    with ImagePageSource(paths, shape=(h, w)) as src2:
+        r2 = BatchRunner([("unpaper_blackfilter", ()), ("unpaper_border", ())],
+                         chunk_size=8, manifest_path=manifest)
+        m = r2.run(len(paths), src2, sink)
+    assert m.pages + 16 == 24  # 2 chunks were already done
+    assert src2.failed == 0
+
+    # every page written, black border wiped
+    import os as _os
+    files = sorted(_os.listdir(out_dir))
+    assert len(files) == 24
+    page = decode_pnm(_os.path.join(out_dir, files[0]))
+    assert (page[:, : w // 20, :3] == 255).mean() > 0.99
