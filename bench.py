@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 A4_H, A4_W = 3508, 2480  # 300dpi A4 ~ 8.7 MP
-BATCH = 8
+BATCH = 16  # matches BASELINE.md config 3 (amortizes the ~24 ms tunnel RTT)
 
 
 def _pages(b, h, w, seed=0):
